@@ -1,0 +1,84 @@
+"""The flagship KG-construction pipeline, composed Ray-Data-first.
+
+    read_parquet(transcripts)                       # pruned columns
+      → map_batches(segment_batch)                  # spans tree column
+      → map_batches(triples_batch)                  # SVO candidate rows
+      → map_batches(TripleLinker, concurrency=k)    # actor pool, alias dict
+      → resolve_coref(...)                          # salted conv shuffle
+      → map_batches(canonical_keys_batch)           # deterministic ids
+      → dedup_triples(...) + build_entity_table(...)  # the two wide shuffles
+
+Everything upstream of the coref shuffle is streaming (no materialization);
+the compact triple rows — not the raw text — are what the shuffles move.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pawpaw_ray.stages.canonicalize import (
+    build_entity_table,
+    canonical_keys_batch,
+    dedup_triples,
+)
+from pawpaw_ray.stages.coref import resolve_coref
+from pawpaw_ray.stages.link import TripleLinker
+from pawpaw_ray.stages.segment import segment_batch
+from pawpaw_ray.stages.triples import triples_batch
+
+
+def extract_linked_triples(
+    transcripts_ds,
+    catalog: pa.Table,
+    linker_concurrency=(1, 8),
+    batch_size: int = 256,
+):
+    """transcripts → linked candidate triples (streaming, no shuffle)."""
+    import ray
+
+    catalog_ref = ray.put(catalog)
+    return (
+        transcripts_ds
+        .map_batches(segment_batch, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(triples_batch, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(
+            TripleLinker,
+            fn_constructor_args=(catalog_ref,),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=linker_concurrency,
+        )
+    )
+
+
+def build_kg(
+    transcripts_ds,
+    catalog: pa.Table,
+    window_turns: int = 8,
+    chunk_turns: int = 512,
+    coref: bool = True,
+    linker_concurrency=(1, 8),
+    batch_size: int = 256,
+):
+    """Full pipeline; returns dict of Datasets:
+    ``triples`` (canonical, deduped, with lineage count), ``entities``."""
+    linked = extract_linked_triples(
+        transcripts_ds, catalog, linker_concurrency, batch_size)
+
+    if coref:
+        resolved = resolve_coref(linked, window_turns, chunk_turns)
+    else:
+        def no_coref(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "via_coref", pa.array([False] * len(b), pa.bool_()))
+        resolved = linked.map_batches(no_coref, batch_format="pyarrow")
+
+    keyed = resolved.map_batches(canonical_keys_batch, batch_format="pyarrow")
+    # the two consumers below each traverse `keyed`; pin the compact triple
+    # rows once so segmentation/extraction doesn't run twice
+    keyed = keyed.materialize()
+
+    return {
+        "triples": dedup_triples(keyed),
+        "entities": build_entity_table(keyed),
+    }

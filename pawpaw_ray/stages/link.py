@@ -1,0 +1,141 @@
+"""Entity linking — the stateful actor-pool stage.
+
+Re-expresses the reference's alias-dictionary entity discovery
+(``Ontology.discover``, ``/root/reference/pawpaw/ontology/ontology.py:60-70``:
+run every alias rule of every ontology node over the text, collect matches
+per dotted path) as a Ray actor pool: the alias dictionary is ``ray.put``
+ONCE on the driver, each actor fetches it ONCE in ``__init__`` (never per
+batch), compiles a single ``\\L<aliases>``-style scan pattern, and links
+mentions per batch.
+
+Two consumers:
+  * :class:`MentionScanner` — scan the full turn text, emit mention rows
+    ``(conv_id, turn_idx, start, stop, surface, entity_id, entity_path,
+    ambiguous)``.
+  * :class:`TripleLinker` — dictionary-lookup linking of triple subject /
+    object surfaces (exact, casefolded), appending ``subj_id``/``obj_id``/
+    ``subj_path``/``obj_path`` columns.
+
+Ambiguous aliases (one surface → several entities) resolve deterministically
+to the lowest ``entity_id`` and are flagged; context-sensitive resolution
+happens downstream in the coreference window.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import regex as rx
+
+
+class AliasIndex:
+    """Casefolded alias → [(entity_id, entity_path, canonical)] plus a
+    word-boundary scan pattern over all aliases (longest-alternative-first,
+    which the ``regex`` named-list implementation guarantees)."""
+
+    def __init__(self, catalog: pa.Table):
+        self.by_alias: dict[str, list[tuple[str, str, str]]] = {}
+        ids = catalog["entity_id"].to_pylist()
+        paths = catalog["entity_path"].to_pylist()
+        canon = catalog["canonical"].to_pylist()
+        aliases = catalog["aliases"].to_pylist()
+        surfaces: set[str] = set()
+        for eid, path, can, al in zip(ids, paths, canon, aliases):
+            for a in al:
+                self.by_alias.setdefault(a.casefold(), []).append((eid, path, can))
+                surfaces.add(a)
+        for v in self.by_alias.values():
+            v.sort()
+        self.pattern = rx.compile(
+            r"(?<!\w)(?:\L<surfaces>)(?!\w)", surfaces=sorted(surfaces),
+        )
+
+    def lookup(self, surface: str) -> tuple[str | None, str | None, bool]:
+        """(entity_id, entity_path, ambiguous) for an exact surface form."""
+        hits = self.by_alias.get(surface.strip().casefold())
+        if not hits:
+            return None, None, False
+        return hits[0][0], hits[0][1], len(hits) > 1
+
+
+MENTION_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("start", pa.int32()),
+    ("stop", pa.int32()),
+    ("surface", pa.string()),
+    ("entity_id", pa.string()),
+    ("entity_path", pa.string()),
+    ("ambiguous", pa.bool_()),
+])
+
+
+class MentionScanner:
+    """Actor-pool callable: scan turn text for alias mentions.
+
+    ``catalog_ref`` is a ``ray.ObjectRef`` to the catalog Arrow table (or the
+    table itself in unit tests); the index build + pattern compile happen
+    once per actor.
+    """
+
+    def __init__(self, catalog_ref):
+        catalog = _resolve_ref(catalog_ref)
+        self.index = AliasIndex(catalog)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        conv = batch["conv_id"].to_pylist()
+        tidx = batch["turn_idx"].to_pylist()
+        cols = {name: [] for name in MENTION_SCHEMA.names}
+        for i, text in enumerate(texts):
+            for m in self.index.pattern.finditer(text):
+                surface = m.group(0)
+                eid, path, amb = self.index.lookup(surface)
+                cols["conv_id"].append(conv[i])
+                cols["turn_idx"].append(tidx[i])
+                cols["start"].append(m.start())
+                cols["stop"].append(m.end())
+                cols["surface"].append(surface)
+                cols["entity_id"].append(eid)
+                cols["entity_path"].append(path)
+                cols["ambiguous"].append(amb)
+        return pa.table(
+            {n: pa.array(cols[n], MENTION_SCHEMA.field(n).type) for n in MENTION_SCHEMA.names},
+            schema=MENTION_SCHEMA,
+        )
+
+
+class TripleLinker:
+    """Actor-pool callable: link triple subj/obj surfaces against the alias
+    dictionary (exact casefolded lookup — a broadcast hash join on the small
+    side, no shuffle)."""
+
+    def __init__(self, catalog_ref):
+        self.index = AliasIndex(_resolve_ref(catalog_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subs = batch["subj"].to_pylist()
+        objs = batch["obj"].to_pylist()
+        s_ids, s_paths, o_ids, o_paths = [], [], [], []
+        for s in subs:
+            eid, path, _ = self.index.lookup(s)
+            s_ids.append(eid)
+            s_paths.append(path)
+        for o in objs:
+            eid, path, _ = self.index.lookup(o)
+            o_ids.append(eid)
+            o_paths.append(path)
+        return (batch
+                .append_column("subj_id", pa.array(s_ids, pa.string()))
+                .append_column("subj_path", pa.array(s_paths, pa.string()))
+                .append_column("obj_id", pa.array(o_ids, pa.string()))
+                .append_column("obj_path", pa.array(o_paths, pa.string())))
+
+
+def _resolve_ref(ref):
+    try:
+        import ray
+        if isinstance(ref, ray.ObjectRef):
+            return ray.get(ref)
+    except ImportError:
+        pass
+    return ref

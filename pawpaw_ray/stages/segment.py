@@ -1,0 +1,93 @@
+"""Segmentation stage: transcript turns → flat span-tree column.
+
+A stateless ``map_batches`` transform (``batch_format="pyarrow"``): for each
+row's ``text`` it runs the SimpleNlp-shaped cascade
+(paragraph → sentence → word|number, ``pawpaw_ray.kernels.nlp.segment_text``)
+and appends a ``spans`` column of type
+``list<struct{start:int32, stop:int32, desc:int8, parent:int32}>`` —
+the flat-preorder encoding of the reference's Ito tree
+(``/root/reference/pawpaw/ito.py`` tree invariants; see SURVEY.md §1.5).
+
+The per-row work is regex matching windowed by ``pos``/``endpos`` over the
+row's own text (never substring slicing); patterns are compiled once per
+worker process at module import.  The batch-level assembly is a single
+vectorized ``ListArray.from_arrays`` construction — no per-row Arrow calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pawpaw_ray.kernels.nlp import DESC_VOCAB, segment_text
+
+SPAN_STRUCT = pa.struct([
+    ("start", pa.int32()),
+    ("stop", pa.int32()),
+    ("desc", pa.int8()),
+    ("parent", pa.int32()),
+])
+SPANS_TYPE = pa.list_(SPAN_STRUCT)
+
+
+def spans_column(texts) -> pa.ListArray:
+    """Build the spans list column for an iterable of text values."""
+    all_starts: list[int] = []
+    all_stops: list[int] = []
+    all_descs: list[int] = []
+    all_parents: list[int] = []
+    offsets = [0]
+    for t in texts:
+        if t:
+            s, e, d, p = segment_text(t)
+            all_starts.extend(s)
+            all_stops.extend(e)
+            all_descs.extend(d)
+            all_parents.extend(p)
+        offsets.append(len(all_starts))
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(np.asarray(all_starts, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(all_stops, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(all_descs, dtype=np.int8), pa.int8()),
+            pa.array(np.asarray(all_parents, dtype=np.int32), pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    return pa.ListArray.from_arrays(pa.array(np.asarray(offsets, dtype=np.int32), pa.int32()), struct)
+
+
+def segment_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """map_batches UDF: append the ``spans`` tree column."""
+    texts = batch[text_col].to_pylist()
+    return batch.append_column("spans", spans_column(texts))
+
+
+def tree_rows(batch: pa.Table):
+    """Iterate (row_index, starts, stops, descs, parents) numpy views of the
+    ``spans`` column — the zero-copy read side used by downstream kernels."""
+    col = batch["spans"]
+    for chunk in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
+        offsets = chunk.offsets.to_numpy()
+        flat = chunk.flatten()
+        starts = flat.field("start").to_numpy()
+        stops = flat.field("stop").to_numpy()
+        descs = flat.field("desc").to_numpy()
+        parents = flat.field("parent").to_numpy()
+        for i in range(len(chunk)):
+            a, b = offsets[i], offsets[i + 1]
+            yield i, starts[a:b], stops[a:b], descs[a:b], parents[a:b]
+
+
+def desc_counts(batch: pa.Table) -> pa.Table:
+    """Per-turn node counts per desc label (debug/metrics helper)."""
+    out = {f"n_{d.lower()}": [] for d in DESC_VOCAB}
+    for _, _, _, descs, _ in tree_rows(batch):
+        c = np.bincount(descs, minlength=len(DESC_VOCAB))
+        for j, d in enumerate(DESC_VOCAB):
+            out[f"n_{d.lower()}"].append(int(c[j]))
+    cols = {k: pa.array(v, pa.int32()) for k, v in out.items()}
+    t = batch.select([c for c in ("conv_id", "turn_idx", "doc_id") if c in batch.column_names])
+    for k, v in cols.items():
+        t = t.append_column(k, v)
+    return t

@@ -1,0 +1,153 @@
+"""Differential tests: span kernels vs the reference implementation.
+
+Each test runs the SAME input through pawpaw (imported read-only from
+/root/reference) and through our flat-array kernels and asserts identical
+span structure — the safety net for the subtle nesting/split semantics
+(SURVEY.md §7 'hard parts' (a)).
+"""
+
+import random
+
+import pytest
+import regex as rx
+
+from pawpaw_ray.kernels.spans import (
+    Retention,
+    extract,
+    gaps,
+    nest_match,
+    split_by_boundaries,
+    split_spans,
+    strip_span,
+)
+
+
+def flatten_ito(ito, parent_idx=-1, acc=None):
+    """Preorder-flatten a pawpaw Ito tree to (start, stop, desc, parent)."""
+    if acc is None:
+        acc = []
+    idx = len(acc)
+    acc.append((ito.start, ito.stop, ito.desc, parent_idx))
+    for c in ito.children:
+        flatten_ito(c, idx, acc)
+    return acc
+
+
+NEST_PATTERNS = [
+    (r"(?P<phrase>(?P<word>(?P<char>\w)+)(?:\s(?P<word>(?P<char>\w)+))*)",
+     "The quick brown fox jumps"),
+    (r"(?P<pair>(?P<key>\w+)=(?P<val>\w+))", "a=1 b=2 c=3"),
+    (r"(?P<outer>(?P<a>x+)(?P<b>y+)?)", "xxy xx xyy"),
+]
+
+
+@pytest.mark.parametrize("pat,text", NEST_PATTERNS)
+def test_nest_match_matches_reference(pawpaw_ref, pat, text):
+    pp = pawpaw_ref
+    p = rx.compile(pat, rx.DOTALL)
+
+    ours = extract(text, (0, len(text)), p)
+
+    # our extract defaults to the arborform Extract group filter (no group 0,
+    # extract.py:16); pass the equivalent filter to the reference's from_re
+    theirs = []
+    for root_ito in pp.Ito.from_re(p, text, group_filter=lambda m, gk: str(gk) != "0"):
+        base = len(theirs)
+        for s, e, d, par in flatten_ito(root_ito):
+            theirs.append((s, e, d, par if par == -1 else par + base))
+    assert [(s, e, d, par) for s, e, d, par in ours] == theirs
+
+
+def test_from_match_multicapture(pawpaw_ref):
+    """Multi-capture groups: every capture becomes a node (ito.py:117)."""
+    p = rx.compile(r"(?P<list>(?P<item>\d+)(?:,(?P<item>\d+))*)")
+    text = "1,22,333"
+    ours = extract(text, (0, len(text)), p)
+    theirs = []
+    for root in pawpaw_ref.Ito.from_re(p, text, group_filter=lambda m, gk: str(gk) != "0"):
+        theirs.extend(flatten_ito(root))
+    assert [(s, e, d) for s, e, d, _ in ours] == [(s, e, d) for s, e, d, _ in theirs]
+
+
+SPLIT_CASES = [
+    ("a,b,c", r","),
+    (",leading", r","),
+    ("trailing,", r","),
+    ("a,,b", r","),
+    ("nosep", r","),
+    ("", r","),
+    ("one two  three", r"\s+"),
+    ("x1y22z", r"\d+"),
+]
+
+
+@pytest.mark.parametrize("retention", list(Retention))
+@pytest.mark.parametrize("text,sep", SPLIT_CASES)
+def test_split_matches_reference(pawpaw_ref, text, sep, retention):
+    pp = pawpaw_ref
+    pat = rx.compile(sep)
+    ref_split = pp.arborform.Split(
+        pat, boundary_retention=pp.arborform.Split.BoundaryRetention[retention.name])
+    theirs = [(i.start, i.stop) for i in ref_split(pp.Ito(text))]
+    ours = split_spans(text, (0, len(text)), pat, retention)
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("retention", list(Retention))
+def test_split_windowed_span(pawpaw_ref, retention):
+    """Split of a sub-span (windowed, not whole string)."""
+    pp = pawpaw_ref
+    text = "xx a,b,c yy"
+    pat = rx.compile(",")
+    inner = pp.Ito(text, 3, 8)
+    ref_split = pp.arborform.Split(
+        pat, boundary_retention=pp.arborform.Split.BoundaryRetention[retention.name])
+    theirs = [(i.start, i.stop) for i in ref_split(inner)]
+    ours = split_spans(text, (3, 8), pat, retention)
+    assert ours == theirs
+
+
+def test_split_limit(pawpaw_ref):
+    pp = pawpaw_ref
+    text = "a,b,c,d"
+    pat = rx.compile(",")
+    for limit in (0, 1, 2, 10):
+        ref_split = pp.arborform.Split(pat, limit=limit)
+        theirs = [(i.start, i.stop) for i in ref_split(pp.Ito(text))]
+        ours = split_spans(text, (0, len(text)), pat, limit=limit)
+        assert ours == theirs, f"limit={limit}"
+
+
+def test_gaps_matches_reference(pawpaw_ref):
+    pp = pawpaw_ref
+    text = "0123456789"
+    rng = random.Random(7)
+    for _ in range(50):
+        cuts = sorted(rng.sample(range(11), rng.randint(0, 4)))
+        non_gaps = []
+        i = 0
+        while i + 1 < len(cuts):
+            non_gaps.append((cuts[i], cuts[i + 1]))
+            i += 2
+        theirs = [(i.start, i.stop) for i in pp.Ito.from_gaps(
+            text, [pp.Span(*s) for s in non_gaps])]
+        ours = gaps((0, len(text)), non_gaps)
+        assert ours == theirs, f"non_gaps={non_gaps}"
+
+
+def test_strip_matches_reference(pawpaw_ref):
+    pp = pawpaw_ref
+    for text in ["  ab  ", "\t\nx\n", "xxyxx", "   ", ""]:
+        ito = pp.Ito(text)
+        assert strip_span(text, (0, len(text))) == tuple(ito.str_strip().span)
+        assert strip_span(text, (0, len(text)), "x") == tuple(ito.str_strip("x").span)
+
+
+def test_zero_split_and_boundary_flags():
+    # no boundaries → whole span back (non-boundary)
+    assert split_by_boundaries((2, 5), []) == [((2, 5), False)]
+    assert split_by_boundaries((2, 5), [], return_zero_split=False) == []
+    # ALL mode interleaves segments and boundaries in order
+    got = split_by_boundaries((0, 7), [(1, 2), (4, 5)], Retention.ALL)
+    assert got == [((0, 1), False), ((1, 2), True), ((2, 4), False),
+                   ((4, 5), True), ((5, 7), False)]
