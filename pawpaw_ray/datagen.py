@@ -73,7 +73,12 @@ ORG_STEMS = [
     "Northgate", "Obsidian", "Pinnacle", "Quanta", "Redwood", "Summit",
     "Tidewater",
 ]
-ORG_SUFFIXES = ["Corporation", "Industries", "Labs", "Systems", "Holdings", "Group"]
+ORG_SUFFIXES = [
+    "Corporation", "Industries", "Labs", "Systems", "Holdings", "Group",
+    "Partners", "Dynamics", "Logistics", "Analytics", "Networks", "Robotics",
+    "Energy", "Capital", "Software", "Foundry",
+]
+CITY_VARIANTS = ["", " City", " Falls", " Heights", " Springs"]
 CITY_STEMS = [
     "Ashford", "Brookhaven", "Cedarvale", "Dunmore", "Eastport", "Fairview",
     "Glenrock", "Hartwell", "Inverness", "Kingsford", "Lakewood", "Maplewood",
@@ -128,7 +133,7 @@ def build_catalog(seed: int = SEED, n_person: int = 200, n_org: int = 200,
         k += 1
     while len(ents) < n_person + n_org + n_city:
         stem = rng.choice(CITY_STEMS)
-        canonical = f"{stem} City" if rng.random() < 0.5 else stem
+        canonical = stem + rng.choice(CITY_VARIANTS)
         if not uniq(canonical):
             continue
         ents.append(Entity(f"ent-{k:05d}", "place.city", canonical, (canonical,)))

@@ -3,23 +3,28 @@
 Canonicalization (SURVEY.md §2.5, engine-new): every triple endpoint surface
 is normalized (casefold, collapse whitespace, strip edge punctuation); linked
 surfaces already carry a catalog ``entity_id``; unlinked surfaces get a
-deterministic synthetic id ``unk-<sha1(norm)[:12]>`` so the mapping is stable
-under retries and across partitions WITHOUT a global shuffle — the id is a
-pure function of the normalized surface.  The entity table (one row per
-canonical id with mention count and a deterministic representative surface)
-is produced by a ``groupby`` over the much smaller endpoint rows, with a
-per-batch partial pre-aggregation so the shuffle moves (id, surface, count)
-partials instead of every mention row.
+deterministic synthetic id ``unk-<sha1(norm)[:12]>`` — a pure function of
+the normalized surface, so the mapping is stable under retries and across
+partitions WITHOUT any global coordination.  A pronoun subject that coref
+could not resolve gets a null key and is excluded from the canonical graph.
 
-Exact triple dedup (reference analog: the ``'><'`` unique axis,
-``/root/reference/pawpaw/query/_query.py:173-177``): hash-group on the
-canonical key ``(subj_key, pred, obj_key)`` keeping the first occurrence by
-``(conv_id, turn_idx, s_start)`` and a duplicate count for lineage.
+Shuffle discipline: both wide steps group on ``hash(key) % B`` buckets, not
+on the raw key — B balanced partitions, each reduced with C-speed pandas
+grouping inside one task, instead of one Ray group per distinct key (whose
+per-group overhead dominates at millions of keys).  The entity aggregation
+additionally pre-aggregates per batch (map-side combine) so the shuffle
+moves (key, surface, count) partials, not every mention row.
+
+Exact triple dedup is the reference's ``'><'`` unique-axis analog
+(``/root/reference/pawpaw/query/_query.py:173-177``): first occurrence by
+``(conv_id, turn_idx, s_start)`` wins; the duplicate count is kept as
+lineage.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -29,6 +34,8 @@ import regex as rx
 
 _NORM_EDGE = rx.compile(r"^[\W_]+|[\W_]+$")
 _NORM_WS = rx.compile(r"\s+")
+
+DEFAULT_BUCKETS = 64
 
 
 def normalize_surface(s: str) -> str:
@@ -40,77 +47,117 @@ def synthetic_id(norm: str) -> str:
     return "unk-" + hashlib.sha1(norm.encode()).hexdigest()[:12]
 
 
+def _crc_bucket(values: list[str], n_buckets: int) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(v.encode()) % n_buckets for v in values),
+        dtype=np.int32, count=len(values))
+
+
 def canonical_keys_batch(batch: pa.Table) -> pa.Table:
-    """Append ``subj_key`` / ``obj_key``: the catalog entity id when linked,
-    else the deterministic synthetic id of the normalized surface."""
-    out_keys = {}
+    """Append ``subj_key`` / ``obj_key`` (see module docstring)."""
+    pron = batch["subj_is_pronoun"].to_pylist() if "subj_is_pronoun" in batch.column_names \
+        else [False] * len(batch)
+    t = batch
     for side in ("subj", "obj"):
         ids = batch[f"{side}_id"].to_pylist()
         surfaces = batch[side].to_pylist()
-        keys = [i if i is not None else synthetic_id(normalize_surface(s))
-                for i, s in zip(ids, surfaces)]
-        out_keys[f"{side}_key"] = pa.array(keys, pa.string())
-    t = batch
-    for k, v in out_keys.items():
-        t = t.append_column(k, v)
+        keys = []
+        for j, (i, s) in enumerate(zip(ids, surfaces)):
+            if i is not None:
+                keys.append(i)
+            elif side == "subj" and pron[j]:
+                keys.append(None)  # unresolved pronoun: no entity
+            else:
+                keys.append(synthetic_id(normalize_surface(s)))
+        t = t.append_column(f"{side}_key", pa.array(keys, pa.string()))
     return t
 
 
 # ---------------------------------------------------------------------------
-# entity table (groupby with partial pre-aggregation)
+# entity table (map-side combine → bucketed final reduce)
 # ---------------------------------------------------------------------------
 
-def entity_partials_batch(batch: pa.Table) -> pa.Table:
+def entity_partials_batch(batch: pa.Table, n_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
     """Per-batch partial aggregation of triple endpoints:
-    (entity_key, entity_path, surface) → count.  Shrinks the shuffle input
-    from one row per endpoint to one row per distinct surface per batch."""
+    (entity_key, entity_path, canonical, surface) → count."""
     frames = []
     for side in ("subj", "obj"):
         frames.append(pd.DataFrame({
             "entity_key": batch[f"{side}_key"].to_pandas(),
             "entity_path": batch[f"{side}_path"].to_pandas().fillna(""),
+            "canonical": (batch[f"{side}_canonical"].to_pandas()
+                          if f"{side}_canonical" in batch.column_names
+                          else pd.Series([None] * len(batch), dtype=object)),
             "surface": batch[side].to_pandas(),
         }))
     df = pd.concat(frames, ignore_index=True)
-    agg = (df.groupby(["entity_key", "entity_path", "surface"], sort=False)
+    df = df[df["entity_key"].notna()]
+    df["canonical"] = df["canonical"].fillna("")
+    agg = (df.groupby(["entity_key", "entity_path", "canonical", "surface"],
+                      sort=False)
              .size().reset_index(name="n"))
+    agg["ebucket"] = _crc_bucket(agg["entity_key"].tolist(), n_buckets)
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
-def entity_finalize_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Final per-entity reduce: total mentions + deterministic canonical
-    surface = most frequent, ties broken lexicographically."""
-    by_surface = g.groupby("surface", sort=False)["n"].sum()
-    # sort by (-count, surface) → first row is the canonical representative
-    rep = by_surface.sort_index().sort_values(ascending=False, kind="mergesort").index[0]
+def entity_finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Final reduce of one bucket: total mentions + deterministic canonical
+    surface per entity (catalog canonical wins; else most frequent surface,
+    ties broken lexicographically)."""
+    totals = g.groupby("entity_key", sort=False)["n"].sum()
+    paths = g.groupby("entity_key", sort=False)["entity_path"].max()
+    cat = g[g["canonical"] != ""].groupby("entity_key", sort=False)["canonical"].min()
+    surf = (g.groupby(["entity_key", "surface"], sort=False)["n"].sum()
+              .reset_index()
+              .sort_values(["entity_key", "n", "surface"],
+                           ascending=[True, False, True], kind="mergesort")
+              .drop_duplicates("entity_key")
+              .set_index("entity_key")["surface"])
+    rep = cat.reindex(totals.index)
+    rep = rep.fillna(surf.reindex(totals.index))
     return pd.DataFrame({
-        "entity_id": [g["entity_key"].iloc[0]],
-        "entity_path": [max(p for p in g["entity_path"])],
-        "canonical_surface": [rep],
-        "n_mentions": [np.int64(g["n"].sum())],
+        "entity_id": totals.index.to_numpy(object),
+        "entity_path": paths.reindex(totals.index).to_numpy(object),
+        "canonical_surface": rep.to_numpy(object),
+        "n_mentions": totals.to_numpy(np.int64),
     })
 
 
-def build_entity_table(triples_keyed_ds):
-    """triples (with keys) → entity table Dataset."""
-    partials = triples_keyed_ds.map_batches(entity_partials_batch, batch_format="pyarrow")
-    return partials.groupby("entity_key").map_groups(
-        entity_finalize_group, batch_format="pandas")
+def build_entity_table(triples_keyed_ds, n_buckets: int = DEFAULT_BUCKETS):
+    partials = triples_keyed_ds.map_batches(
+        lambda b: entity_partials_batch(b, n_buckets), batch_format="pyarrow")
+    return (partials.groupby("ebucket")
+            .map_groups(entity_finalize_bucket, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
-# exact triple dedup
+# exact triple dedup (bucketed)
 # ---------------------------------------------------------------------------
 
-def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Keep the first occurrence by (conv_id, turn_idx, s_start); record the
-    duplicate count as lineage."""
-    g = g.sort_values(["conv_id", "turn_idx", "s_start"], kind="mergesort")
-    first = g.iloc[[0]].copy()
-    first["n_dups"] = np.int64(len(g))
+def add_triple_bucket(batch: pa.Table, n_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
+    keep = batch.filter(pc.is_valid(batch["subj_key"]))
+    key = [f"{s}\x00{p}\x00{o}" for s, p, o in zip(
+        keep["subj_key"].to_pylist(), keep["pred"].to_pylist(),
+        keep["obj_key"].to_pylist())]
+    return keep.append_column("tbucket", pa.array(_crc_bucket(key, n_buckets), pa.int32()))
+
+
+def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized first-occurrence dedup + duplicate counts for one bucket."""
+    g = g.sort_values(["subj_key", "pred", "obj_key",
+                       "conv_id", "turn_idx", "s_start"], kind="mergesort")
+    grp = g.groupby(["subj_key", "pred", "obj_key"], sort=False)
+    first = g.drop_duplicates(["subj_key", "pred", "obj_key"]).copy()
+    first["n_dups"] = grp.size().to_numpy(np.int64)
     return first
 
 
-def dedup_triples(triples_keyed_ds):
-    return triples_keyed_ds.groupby(["subj_key", "pred", "obj_key"]).map_groups(
-        dedup_group, batch_format="pandas")
+def dedup_triples(triples_keyed_ds, n_buckets: int = DEFAULT_BUCKETS):
+    """Canonical triples: unresolved-pronoun rows (null subj_key) are
+    excluded from the canonical graph; the rest dedup exactly on
+    (subj_key, pred, obj_key)."""
+    bucketed = triples_keyed_ds.map_batches(
+        lambda b: add_triple_bucket(b, n_buckets), batch_format="pyarrow")
+    return (bucketed.groupby("tbucket")
+            .map_groups(dedup_bucket, batch_format="pandas")
+            .drop_columns(["tbucket"]))

@@ -5,157 +5,162 @@ Semantics (the cross-turn analog of the reference's windowed consolidation,
 pronoun-subject triple resolves to the most recent preceding person-entity
 *subject* in the same conversation within a window of ``window_turns`` turns
 (ordering key ``(turn_idx, s_start)``).  Resolved triples get
-``subj_id``/``subj_path`` filled and ``via_coref=True``.
+``subj_id``/``subj_path``/``subj_canonical`` filled and ``via_coref=True``.
 
-Scale design (the skew story required by the north rule): conversations are
-hash-partitioned and each is processed *in chunks* of ``chunk_turns`` turns —
-the salted key is ``(conv_id, turn_idx // chunk_turns)`` — so a
-mega-conversation holding 20% of all turns becomes many bounded groups
-instead of one straggler.  Chunk-boundary correctness is restored with an
-overlap-stitching second pass:
+Scale design (the skew story required by the north rule):
 
-  1. pass A (salted groupby): resolve pronouns against in-chunk antecedents;
-     emit per-chunk tail state (last person subject + its turn) separately.
-  2. tail states are forward-filled per conversation (a tiny per-conv group:
-     one row per chunk, i.e. 1/chunk_turns of the input) into a carry table.
-  3. pass B: the still-unresolved pronouns in the first ``window_turns``
-     turns of each chunk are joined (broadcast — the carry table is small by
-     construction) against the carry state and resolved if within window.
+* **Salted keys.** The unit of sequential work is ``(conv_id, turn_idx //
+  chunk_turns)`` — a mega-conversation holding 20% of all turns becomes many
+  bounded chunks instead of one straggler group.
+* **Bucketed shuffle.** The groupby key is ``hash(conv_id, chunk) % B`` so
+  the shuffle produces B balanced partitions, and each bucket task walks its
+  (conv, chunk) subgroups with C-speed pandas grouping — NOT one Ray group
+  per key (per-group task overhead dominates at millions of conversations).
+* **Chunk stitching.** Antecedent state that crosses a chunk boundary is
+  precomputed as a *carry table*: per-chunk tail states (last person subject
+  of the chunk) forward-filled per conversation.  Because ``chunk_turns >
+  window_turns``, only the immediately-preceding chunk's tail can ever be in
+  window, so one carry row per chunk suffices.  The carry table is 1/chunk
+  of the triple count and is broadcast (``ray.put``) to the resolution pass.
 
-Everything is deterministic and idempotent, so Ray task retries are safe.
+The input triples are materialized once (compact rows, not raw text) because
+two consumers traverse them (tail extraction + resolution).  Everything is
+deterministic and idempotent, so Ray task retries are safe.
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 PERSON_PREFIX = "person"
+DEFAULT_BUCKETS = 64
 
 
-def _resolve_group(g: pd.DataFrame, window_turns: int,
-                   carry: dict | None = None) -> pd.DataFrame:
-    """Resolve pronouns inside one (conv_id, chunk) group, scanning in
-    (turn_idx, s_start) order.  ``carry`` optionally supplies the antecedent
-    state carried in from previous chunks: {"turn": int, "id": str}."""
-    g = g.sort_values(["turn_idx", "s_start"], kind="mergesort").reset_index(drop=True)
-    subj_id = g["subj_id"].to_numpy(dtype=object).copy()
-    subj_path = g["subj_path"].to_numpy(dtype=object).copy()
-    via = np.zeros(len(g), dtype=bool)
-    pron = g["subj_is_pronoun"].to_numpy()
-    turns = g["turn_idx"].to_numpy()
+def _bucket_of(conv: str, chunk: int, n_buckets: int) -> int:
+    return zlib.crc32(f"{conv}\x00{chunk}".encode()) % n_buckets
 
+
+def _resolve_arrays(turns, pron, subj_id, subj_path, subj_can, via,
+                    window_turns: int, carry):
+    """Sequential antecedent scan over one (conv, chunk)'s rows (already in
+    (turn_idx, s_start) order).  Mutates the slices in place."""
     last_turn = carry["turn"] if carry else None
     last_id = carry["id"] if carry else None
-    for i in range(len(g)):
+    last_can = carry["can"] if carry else None
+    for i in range(len(turns)):
         if pron[i]:
             if last_id is not None and turns[i] - last_turn <= window_turns:
                 subj_id[i] = last_id
                 subj_path[i] = PERSON_PREFIX
+                subj_can[i] = last_can
                 via[i] = True
         elif subj_id[i] is not None and str(subj_path[i] or "").startswith(PERSON_PREFIX):
-            last_turn, last_id = turns[i], subj_id[i]
+            last_turn, last_id, last_can = turns[i], subj_id[i], subj_can[i]
+
+
+def resolve_bucket(g: pd.DataFrame, window_turns: int,
+                   carry_map: dict | None) -> pd.DataFrame:
+    """Resolve all (conv, chunk) subgroups of one hash bucket."""
+    g = g.sort_values(["conv_id", "chunk", "turn_idx", "s_start"],
+                      kind="mergesort").reset_index(drop=True)
+    subj_id = g["subj_id"].to_numpy(dtype=object).copy()
+    subj_path = g["subj_path"].to_numpy(dtype=object).copy()
+    subj_can = g["subj_canonical"].to_numpy(dtype=object).copy()
+    via = np.zeros(len(g), dtype=bool)
+    pron = g["subj_is_pronoun"].to_numpy()
+    turns = g["turn_idx"].to_numpy()
+
+    # subgroup boundaries via C-speed factorization
+    codes, _ = pd.factorize(
+        g["conv_id"].astype(str) + "\x00" + g["chunk"].astype(str), sort=False)
+    boundaries = np.flatnonzero(np.diff(codes, prepend=-1))
+    boundaries = np.append(boundaries, len(g))
+    for b0, b1 in zip(boundaries[:-1], boundaries[1:]):
+        carry = None
+        if carry_map:
+            carry = carry_map.get((g["conv_id"].iloc[b0], int(g["chunk"].iloc[b0])))
+        _resolve_arrays(turns[b0:b1], pron[b0:b1], subj_id[b0:b1],
+                        subj_path[b0:b1], subj_can[b0:b1], via[b0:b1],
+                        window_turns, carry)
     g["subj_id"] = subj_id
     g["subj_path"] = subj_path
+    g["subj_canonical"] = subj_can
     g["via_coref"] = via
     return g
 
 
-def _tail_state(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-chunk tail state: last person-entity subject and its turn."""
-    g = g.sort_values(["turn_idx", "s_start"], kind="mergesort")
-    mask = (~g["subj_is_pronoun"]) & g["subj_id"].notna() & \
-        g["subj_path"].fillna("").str.startswith(PERSON_PREFIX)
-    sel = g[mask]
-    if len(sel) == 0:
-        return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
-                             "chunk": pd.Series([], dtype=np.int64),
-                             "tail_turn": pd.Series([], dtype=np.int64),
-                             "tail_id": pd.Series([], dtype=object)})
-    last = sel.iloc[-1]
+def tails_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per (conv, chunk): the last person-entity subject row (vectorized —
+    input is pre-filtered to candidate antecedent rows only)."""
+    g = g.sort_values(["conv_id", "chunk", "turn_idx", "s_start"],
+                      kind="mergesort")
+    last = g.groupby(["conv_id", "chunk"], sort=False).tail(1)
     return pd.DataFrame({
-        "conv_id": [last["conv_id"]],
-        "chunk": [np.int64(last["chunk"])],
-        "tail_turn": [np.int64(last["turn_idx"])],
-        "tail_id": [last["subj_id"]],
+        "conv_id": last["conv_id"].to_numpy(),
+        "chunk": last["chunk"].to_numpy(np.int64),
+        "tail_turn": last["turn_idx"].to_numpy(np.int64),
+        "tail_id": last["subj_id"].to_numpy(object),
+        "tail_can": last["subj_canonical"].to_numpy(object),
     })
 
 
-def _forward_fill(g: pd.DataFrame) -> pd.DataFrame:
-    """Per conversation: carry-in state for chunk k = latest tail among
-    chunks < k.  Input: one row per chunk with a tail; output: one row per
-    successor chunk that has something to inherit."""
-    g = g.sort_values("chunk", kind="mergesort")
-    rows = {"conv_id": [], "chunk": [], "carry_turn": [], "carry_id": []}
-    for i in range(len(g)):
-        rows["conv_id"].append(g["conv_id"].iloc[i])
-        rows["chunk"].append(np.int64(g["chunk"].iloc[i] + 1))
-        rows["carry_turn"].append(np.int64(g["tail_turn"].iloc[i]))
-        rows["carry_id"].append(g["tail_id"].iloc[i])
-    # note: only the immediately-previous chunk's tail matters for a window
-    # smaller than chunk_turns; tails older than one chunk are out of window
-    # by construction (chunk_turns > window_turns is enforced by the caller).
-    return pd.DataFrame(rows)
+def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
+                  n_buckets: int = DEFAULT_BUCKETS):
+    """Salted, bucketed coreference resolution over a linked-triples Dataset.
 
-
-def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512):
-    """Apply the salted two-pass coreference resolution to a linked triples
-    Dataset.  Requires ``chunk_turns > window_turns`` (so a carry never has
-    to skip over more than one chunk boundary)."""
+    Requires ``chunk_turns > window_turns`` so a carry never has to reach
+    past one chunk boundary.
+    """
     assert chunk_turns > window_turns
     import ray
 
-    def add_chunk(b: pa.Table) -> pa.Table:
-        chunk = pa.compute.cast(
-            pa.compute.floor(pa.compute.divide(
-                pa.compute.cast(b["turn_idx"], pa.float64()), float(chunk_turns))),
-            pa.int64())
-        return b.append_column("chunk", chunk)
+    def add_keys(b: pa.Table) -> pa.Table:
+        turn = b["turn_idx"].to_numpy()
+        chunk = (turn // chunk_turns).astype(np.int64)
+        conv = b["conv_id"].to_pylist()
+        buck = np.fromiter(
+            (_bucket_of(c, k, n_buckets) for c, k in zip(conv, chunk)),
+            dtype=np.int32, count=len(conv))
+        return (b.append_column("chunk", pa.array(chunk, pa.int64()))
+                 .append_column("cbucket", pa.array(buck, pa.int32())))
 
-    salted = triples_ds.map_batches(add_chunk, batch_format="pyarrow")
+    # compact triple rows; two consumers below — pin once so the raw-text
+    # upstream (segment/extract/link) executes exactly once
+    salted = triples_ds.map_batches(add_keys, batch_format="pyarrow").materialize()
 
-    # pass A: in-chunk resolution (salted groups bound straggler size).
-    # Materialize the result — it is consumed twice (tail states + stitch)
-    # and is compact triple rows, NOT the raw text; without this the whole
-    # segmentation/extraction upstream would execute twice.
-    pass_a = salted.groupby(["conv_id", "chunk"]).map_groups(
-        lambda g: _resolve_group(g, window_turns), batch_format="pandas"
-    ).materialize()
+    # carry table: candidate antecedent rows only (tiny) → per-chunk tails →
+    # forward-shift one chunk (sufficient because chunk_turns > window_turns)
+    def antecedents_only(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(b["subj_is_pronoun"]),
+            pc.and_(pc.is_valid(b["subj_id"]),
+                    pc.starts_with(pc.coalesce(b["subj_path"], ""), PERSON_PREFIX)))
+        return b.filter(keep)
 
-    # tail states per chunk → forward fill per conversation → carry table
-    # (tail state ignores pronoun rows, so computing it post-resolution is
-    # equivalent to computing it on the raw input)
-    tails = pass_a.groupby(["conv_id", "chunk"]).map_groups(
-        _tail_state, batch_format="pandas")
-    carry_pdf = tails.groupby("conv_id").map_groups(
-        _forward_fill, batch_format="pandas").to_pandas()
+    tails_pdf = (salted
+                 .map_batches(antecedents_only, batch_format="pyarrow")
+                 .groupby("cbucket")
+                 .map_groups(tails_bucket, batch_format="pandas")
+                 .to_pandas())
+    # NOTE driver-side collect: one row per (conv, chunk) that has any
+    # antecedent — 1/chunk_turns of the triple count.  At extreme scale this
+    # becomes a broadcast-join instead; the carry table stays the small side.
     carry_map = {
-        (r.conv_id, int(r.chunk)): {"turn": int(r.carry_turn), "id": r.carry_id}
-        for r in carry_pdf.itertuples()
+        (r.conv_id, int(r.chunk) + 1): {"turn": int(r.tail_turn),
+                                        "id": r.tail_id, "can": r.tail_can}
+        for r in tails_pdf.itertuples()
     }
     carry_ref = ray.put(carry_map)
 
-    # pass B: stitch chunk boundaries — only pronouns in the first
-    # window_turns of a chunk can be affected
-    def stitch(b: pd.DataFrame) -> pd.DataFrame:
+    def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
         cm = ray.get(carry_ref)
-        if not cm:
-            return b
-        unresolved = b["subj_is_pronoun"] & ~b["via_coref"]
-        if not unresolved.any():
-            return b
-        for i in b.index[unresolved]:
-            key = (b.at[i, "conv_id"], int(b.at[i, "chunk"]))
-            carry = cm.get(key)
-            if carry is not None and b.at[i, "turn_idx"] - carry["turn"] <= window_turns:
-                # pass A already preferred any in-chunk antecedent (always
-                # more recent than a carry); reaching here means none
-                # preceded this row within the window, so the carry wins
-                b.at[i, "subj_id"] = carry["id"]
-                b.at[i, "subj_path"] = PERSON_PREFIX
-                b.at[i, "via_coref"] = True
-        return b
+        return resolve_bucket(g, window_turns, cm)
 
-    resolved = pass_a.map_batches(stitch, batch_format="pandas")
-    return resolved.drop_columns(["chunk"])
+    resolved = salted.groupby("cbucket").map_groups(
+        resolve_with_carry, batch_format="pandas")
+    return resolved.drop_columns(["chunk", "cbucket"])

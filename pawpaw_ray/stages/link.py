@@ -49,12 +49,13 @@ class AliasIndex:
             r"(?<!\w)(?:\L<surfaces>)(?!\w)", surfaces=sorted(surfaces),
         )
 
-    def lookup(self, surface: str) -> tuple[str | None, str | None, bool]:
-        """(entity_id, entity_path, ambiguous) for an exact surface form."""
+    def lookup(self, surface: str) -> tuple[str | None, str | None, str | None, bool]:
+        """(entity_id, entity_path, canonical, ambiguous) for an exact
+        surface form."""
         hits = self.by_alias.get(surface.strip().casefold())
         if not hits:
-            return None, None, False
-        return hits[0][0], hits[0][1], len(hits) > 1
+            return None, None, None, False
+        return hits[0][0], hits[0][1], hits[0][2], len(hits) > 1
 
 
 MENTION_SCHEMA = pa.schema([
@@ -89,7 +90,7 @@ class MentionScanner:
         for i, text in enumerate(texts):
             for m in self.index.pattern.finditer(text):
                 surface = m.group(0)
-                eid, path, amb = self.index.lookup(surface)
+                eid, path, _can, amb = self.index.lookup(surface)
                 cols["conv_id"].append(conv[i])
                 cols["turn_idx"].append(tidx[i])
                 cols["start"].append(m.start())
@@ -113,22 +114,18 @@ class TripleLinker:
         self.index = AliasIndex(_resolve_ref(catalog_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subs = batch["subj"].to_pylist()
-        objs = batch["obj"].to_pylist()
-        s_ids, s_paths, o_ids, o_paths = [], [], [], []
-        for s in subs:
-            eid, path, _ = self.index.lookup(s)
-            s_ids.append(eid)
-            s_paths.append(path)
-        for o in objs:
-            eid, path, _ = self.index.lookup(o)
-            o_ids.append(eid)
-            o_paths.append(path)
-        return (batch
-                .append_column("subj_id", pa.array(s_ids, pa.string()))
-                .append_column("subj_path", pa.array(s_paths, pa.string()))
-                .append_column("obj_id", pa.array(o_ids, pa.string()))
-                .append_column("obj_path", pa.array(o_paths, pa.string())))
+        t = batch
+        for side in ("subj", "obj"):
+            ids, paths, cans = [], [], []
+            for s in batch[side].to_pylist():
+                eid, path, can, _ = self.index.lookup(s)
+                ids.append(eid)
+                paths.append(path)
+                cans.append(can)
+            t = (t.append_column(f"{side}_id", pa.array(ids, pa.string()))
+                  .append_column(f"{side}_path", pa.array(paths, pa.string()))
+                  .append_column(f"{side}_canonical", pa.array(cans, pa.string())))
+        return t
 
 
 def _resolve_ref(ref):
