@@ -1,44 +1,321 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG pipeline on the sf0.001-scale synthetic
+transcripts.  ``queries()`` exposes one callable per implemented operator
+family (SURVEY.md §2 + the training-data operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query (same column
+names, same types).  Ray is initialised by the driver BEFORE import — no
+``ray.init``/``ray.shutdown`` anywhere on these paths.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+import re as _re
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+# transcripts fixture scale per driver sf dir (deterministic, cached in /tmp)
+_SF_TURNS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+ANN_QUERY_IDS = [0, 1, 2, 3]
+ANN_K = 10
+
+
+def _turns_for(sf_dir: str) -> int:
+    m = _re.search(r"sf(\d+\.?\d*)", sf_dir)
+    return _SF_TURNS.get(m.group(1) if m else "", 20_000)
+
+
+def _transcripts_dir(sf_dir: str) -> str:
+    from pawpaw_ray.datagen import ensure_transcripts
+    n = _turns_for(sf_dir)
+    return ensure_transcripts(n, use_ray=(n > 100_000))
+
+
+@functools.lru_cache(maxsize=4)
+def _kg_outputs(sf_dir: str):
+    """Run the KG pipeline once per sf_dir; both kg_* queries reuse it."""
+    from pawpaw_ray.pipelines.kg import build_kg
+    from pawpaw_ray.sources.transcripts import read_transcripts
+
+    d = _transcripts_dir(sf_dir)
+    catalog = pq.read_table(os.path.join(d, "alias_catalog.parquet"))
+    out = build_kg(read_transcripts(d), catalog)
+    triples = out["triples"].to_pandas().sort_values(
+        ["subj_key", "pred", "obj_key"]).reset_index(drop=True)
+    entities = out["entities"].to_pandas().sort_values(
+        "entity_id").reset_index(drop=True)
+    return triples, entities
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG construction over sf0.001-scale transcripts."""
+    triples, _ = _kg_outputs("/root/testdata/sf0.001")
+    return triples
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_triples(sf_dir: str):
+    triples, _ = _kg_outputs(sf_dir)
+    return triples[["conv_id", "turn_idx", "subj", "pred", "obj",
+                    "subj_key", "obj_key", "via_coref", "n_dups"]]
+
+
+def _q_kg_entities(sf_dir: str):
+    _, entities = _kg_outputs(sf_dir)
+    return entities
+
+
+def _q_kg_mentions(sf_dir: str):
+    import ray
+    from pawpaw_ray.sources.transcripts import read_transcripts
+    from pawpaw_ray.stages.link import MentionScanner
+
+    d = _transcripts_dir(sf_dir)
+    catalog_ref = ray.put(pq.read_table(os.path.join(d, "alias_catalog.parquet")))
+    ds = read_transcripts(d).map_batches(
+        MentionScanner, fn_constructor_args=(catalog_ref,),
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+    return ds.to_pandas().sort_values(
+        ["conv_id", "turn_idx", "start"]).reset_index(drop=True)
+
+
+def _q_segment_stats(sf_dir: str):
+    from pawpaw_ray.stages.segment import desc_counts, segment_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(segment_batch, batch_format="pyarrow")
+            .map_batches(desc_counts, batch_format="pyarrow"))
+
+
+def _q_token_count(sf_dir: str):
+    from pawpaw_ray.stages.textstats import token_count_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(token_count_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens"]))
+
+
+def _q_quality(sf_dir: str):
+    from pawpaw_ray.stages.textstats import quality_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(quality_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_chars_calc", "n_tokens",
+                             "n_punct", "n_upper"]))
+
+
+def _q_top_tokens(sf_dir: str):
+    """Global top-20 tokens: per-batch partial counts (map-side combine) →
+    small groupby-sum → driver-side deterministic top-k."""
+    import pandas as pd
+    import pyarrow as pa
+    import regex as rx
+
+    tok_rx = rx.compile(r"[a-z0-9_]+")
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for t in b["text"].to_pylist():
+            c.update(tok_rx.findall((t or "").lower()))
+        return pa.table({"token": list(c.keys()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    partials = (_docs(sf_dir, ["text"])
+                .map_batches(partial_counts, batch_format="pyarrow")
+                .to_pandas())
+    agg = partials.groupby("token", sort=False)["n"].sum().reset_index()
+    agg = agg.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    agg["n"] = agg["n"].astype("int64")
+    return agg
+
+
+def _q_dedup_exact(sf_dir: str):
+    from pawpaw_ray.stages.dedup import exact_dedup
+    out = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lang_count(sf_dir: str):
+    from ray.data.aggregate import Count
+    return (_docs(sf_dir, ["lang"])
+            .groupby("lang").aggregate(Count(alias_name="n")))
+
+
+def _q_top_sources(sf_dir: str):
+    from ray.data.aggregate import Count
+    agg = (_docs(sf_dir, ["source"])
+           .groupby("source").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    return (agg.sort_values(["n", "source"], ascending=[False, True],
+                            kind="mergesort").head(5).reset_index(drop=True))
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+def _q_events_window(sf_dir: str):
+    from pawpaw_ray.stages.events import tumbling_window
+    return tumbling_window(_events(sf_dir, ["user_id", "ts", "value"]))
+
+
+def _q_events_user_stats(sf_dir: str):
+    from pawpaw_ray.stages.events import user_ordered_stats
+    return user_ordered_stats(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
+def _q_number_count(sf_dir: str):
+    """Numbers per document via the ported Number pattern (nlp.py:121-161)."""
+    import pyarrow as pa
+    from pawpaw_ray.kernels.nlp import NUMBER_RE
+
+    def count_numbers(b: pa.Table) -> pa.Table:
+        ns = [len(NUMBER_RE.findall(t or "")) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_numbers": pa.array(ns, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_numbers, batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+    from pawpaw_ray.stages.similarity import ann_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out = ann_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from pawpaw_ray.stages.dedup import minhash_clusters
+    return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_simhash(sf_dir: str):
+    from pawpaw_ray.stages.dedup import simhash_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(simhash_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "simhash64"]))
+
+
+def _q_langid(sf_dir: str):
+    from pawpaw_ray.stages.textstats import langid_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(langid_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "lang_pred"]))
+
+
+def _q_fingerprint(sf_dir: str):
+    from pawpaw_ray.stages.textstats import fingerprint_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(fingerprint_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "content_sha1"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # knowledge-graph pipeline (transcripts; rows-only checks)
+        "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_mentions": _q_kg_mentions,
+        "segment_stats": _q_segment_stats,
+        # SQL-checked relational/text operators (documents/events/embeddings)
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "top_tokens": _q_top_tokens,
+        "dedup_exact": _q_dedup_exact,
+        "lang_count": _q_lang_count,
+        "top_sources": _q_top_sources,
+        "events_window": _q_events_window,
+        "events_user_stats": _q_events_user_stats,
+        "number_count": _q_number_count,
+        "ann_topk": _q_ann_topk,
+        # training-data ops (rows-only)
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+_NUMBER_SQL_PATTERN = (
+    r"[-+]?(\d{1,3}(,\d{3})+|\d+)(\.\d+)?([eE][-+]?\d+| ?[Xx] ?10\^ ?[-+]?\d+)?"
+    r"|[-+]?\.\d+([eE][-+]?\d+)?"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "token_count":
+            "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens "
+            "FROM documents",
+        "quality":
+            "SELECT doc_id, "
+            "length(text) AS n_chars_calc, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens, "
+            "len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, "
+            "len(regexp_extract_all(text, '[A-Z]')) AS n_upper "
+            "FROM documents",
+        "top_tokens":
+            "SELECT token, count(*) AS n FROM ("
+            "  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token"
+            "  FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text",
+        "lang_count":
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "top_sources":
+            "SELECT source, count(*) AS n FROM documents "
+            "GROUP BY source ORDER BY n DESC, source ASC LIMIT 5",
+        "events_window":
+            "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS win, "
+            "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY user_id, win",
+        "events_user_stats":
+            "WITH o AS (SELECT user_id, event_type, "
+            "  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+            "  count(*) OVER (PARTITION BY user_id) AS n_events FROM events) "
+            "SELECT user_id, n_events, "
+            "  max(CASE WHEN rn = 1 THEN event_type END) AS first_type, "
+            "  max(CASE WHEN rn = n_events THEN event_type END) AS last_type "
+            "FROM o GROUP BY user_id, n_events",
+        "number_count":
+            f"SELECT doc_id, len(regexp_extract_all(text, '{_NUMBER_SQL_PATTERN}')) "
+            "AS n_numbers FROM documents",
+        "ann_topk":
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            f"           WHERE vec_id IN ({ann_ids})), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "       list_cosine_similarity(e.embedding, q.embedding) AS sim "
+            "      FROM embeddings e CROSS JOIN q), "
+            "r AS (SELECT query_id, vec_id, "
+            "       row_number() OVER (PARTITION BY query_id "
+            "                          ORDER BY sim DESC, vec_id ASC) AS rank "
+            "      FROM s) "
+            f"SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}",
+    }

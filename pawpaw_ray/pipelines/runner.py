@@ -1,0 +1,127 @@
+"""Resumable sharded runner — checkpointed execution of the KG pipeline.
+
+Layout and resume semantics are in :mod:`pawpaw_ray.state.manifests`.  The
+text-heavy phase (segment → extract → link → coref) runs per input shard and
+is skipped on rerun when the shard's manifest exists; the global phase
+(canonicalize → dedup → entities) runs over the compact phase-A outputs.
+
+Sharding unit = groups of input parquet files.  The coreference window
+assumes a conversation's turns live within one shard (the standard layout
+for conversation logs: files partitioned by conv hash or time-of-conv);
+this assumption is recorded in each manifest.
+
+At 100 TB: phase A is embarrassingly parallel per shard and restartable at
+shard granularity; phase B shuffles only triple rows (orders of magnitude
+smaller than the input text).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+
+from pawpaw_ray.pipelines.kg import build_kg, extract_linked_triples
+from pawpaw_ray.sources.transcripts import read_transcripts, transcript_files
+from pawpaw_ray.stages.canonicalize import (
+    build_entity_table,
+    canonical_keys_batch,
+    dedup_triples,
+)
+from pawpaw_ray.stages.coref import resolve_coref
+from pawpaw_ray.state.manifests import is_complete, read_manifests, write_manifest
+
+
+def _shards(files: list[str], n_shards: int) -> list[list[str]]:
+    n_shards = max(1, min(n_shards, len(files)))
+    return [files[i::n_shards] for i in range(n_shards)]
+
+
+def _fresh_dir(d: str) -> str:
+    """Clear-and-recreate an output dir: ray's write_parquet adds files to an
+    existing directory, so a redone partition must start empty for the
+    output to stay deterministic."""
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def run_phase_a(shard_files: list[str], catalog, out_dir: str,
+                window_turns: int = 8, chunk_turns: int = 512) -> dict:
+    """One shard: transcripts → resolved, keyed triples → parquet."""
+    _fresh_dir(out_dir)
+    ds = read_transcripts(shard_files)
+    linked = extract_linked_triples(ds, catalog)
+    resolved = resolve_coref(linked, window_turns, chunk_turns)
+    keyed = resolved.map_batches(canonical_keys_batch, batch_format="pyarrow")
+    keyed.write_parquet(out_dir)
+    n_rows = sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
+                 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    content_hash = hashlib.sha1(
+        "".join(sorted(os.listdir(out_dir))).encode()).hexdigest()[:16]
+    return {"inputs": shard_files, "rows": n_rows, "files_hash": content_hash}
+
+
+def run_resumable(
+    input_path: str,
+    out_root: str,
+    catalog=None,
+    n_shards: int = 8,
+    window_turns: int = 8,
+    chunk_turns: int = 512,
+    verbose: bool = False,
+) -> dict:
+    """Run (or resume) the full KG build.  Returns summary metrics."""
+    t0 = time.monotonic()
+    files = transcript_files(input_path)
+    if catalog is None:
+        cat_path = os.path.join(input_path, "alias_catalog.parquet")
+        catalog = pq.read_table(cat_path)
+
+    os.makedirs(out_root, exist_ok=True)
+    shards = _shards(files, n_shards)
+    skipped = ran = 0
+    for i, shard in enumerate(shards):
+        part = f"part-{i:05d}"
+        if is_complete(out_root, part):
+            skipped += 1
+            continue
+        part_dir = os.path.join(out_root, "triples_raw", part)
+        payload = run_phase_a(shard, catalog, part_dir, window_turns, chunk_turns)
+        payload.update({
+            "phase": "A", "part": part,
+            "assumes": "conversation-contiguous shard",
+            "elapsed_s": round(time.monotonic() - t0, 2),
+        })
+        write_manifest(out_root, part, payload)
+        ran += 1
+        if verbose:
+            print(f"[runner] {part}: {payload['rows']} rows")
+
+    # phase B: global canonical tables from the compact phase-A outputs
+    import ray.data as rd
+    keyed = rd.read_parquet(os.path.join(out_root, "triples_raw"))
+    triples = dedup_triples(keyed)
+    entities = build_entity_table(keyed)
+    triples_dir = _fresh_dir(os.path.join(out_root, "triples"))
+    entities_dir = _fresh_dir(os.path.join(out_root, "entities"))
+    triples.write_parquet(triples_dir)
+    entities.write_parquet(entities_dir)
+
+    n_triples = sum(pq.read_metadata(os.path.join(triples_dir, f)).num_rows
+                    for f in os.listdir(triples_dir) if f.endswith(".parquet"))
+    n_entities = sum(pq.read_metadata(os.path.join(entities_dir, f)).num_rows
+                     for f in os.listdir(entities_dir) if f.endswith(".parquet"))
+    raw_rows = sum(m.get("rows", 0) for m in read_manifests(out_root).values()
+                   if m.get("phase") == "A")
+    final = {
+        "phase": "B", "triples": n_triples, "entities": n_entities,
+        "raw_triples": raw_rows, "shards_run": ran, "shards_skipped": skipped,
+        "elapsed_s": round(time.monotonic() - t0, 2),
+    }
+    write_manifest(out_root, "final", final)
+    return final

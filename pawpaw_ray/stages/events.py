@@ -1,0 +1,75 @@
+"""Ordered-stream operators over an events table: tumbling-window aggregates
+(map-side combine → small groupby) and per-key ordered stats (first/last by
+timestamp) — the engine's window/ordering primitives outside conversations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def window_partials_batch(batch: pa.Table, window_s: int = 3600) -> pa.Table:
+    """Per-batch partial tumbling-window aggregation: (user_id, win) →
+    n / min_value / max_value.  The groupby downstream merges partials, so
+    the shuffle moves one row per (user, window) per batch."""
+    df = pd.DataFrame({
+        "user_id": batch["user_id"].to_numpy(),
+        "win": (batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+                // window_s).astype(np.int64),
+        "value": batch["value"].to_numpy(),
+    })
+    agg = (df.groupby(["user_id", "win"], sort=False)["value"]
+           .agg(n="size", min_value="min", max_value="max").reset_index())
+    agg["n"] = agg["n"].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def window_merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out = (g.groupby(["user_id", "win"], sort=False)
+           .agg(n=("n", "sum"), min_value=("min_value", "min"),
+                max_value=("max_value", "max")).reset_index())
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def tumbling_window(events_ds, window_s: int = 3600, n_buckets: int = 32):
+    """(user_id, win, n, min_value, max_value) via partial+final aggregation."""
+    partials = events_ds.map_batches(
+        lambda b: window_partials_batch(b, window_s), batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b.append_column("wbucket", pa.array(buck, pa.int32()))
+
+    # (the merge fn's output already omits the bucket column)
+    return (partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("wbucket")
+            .map_groups(window_merge_bucket, batch_format="pandas"))
+
+
+def user_ordered_stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per user: event count + first/last event_type in (ts, event_id)
+    order (deterministic tiebreak)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    grp = g.groupby("user_id", sort=False)
+    first = grp.head(1).set_index("user_id")["event_type"]
+    last = grp.tail(1).set_index("user_id")["event_type"]
+    n = grp.size()
+    return pd.DataFrame({
+        "user_id": n.index.to_numpy(np.int64),
+        "n_events": n.to_numpy(np.int64),
+        "first_type": first.reindex(n.index).to_numpy(object),
+        "last_type": last.reindex(n.index).to_numpy(object),
+    })
+
+
+def user_ordered_stats(events_ds, n_buckets: int = 32):
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b.append_column("ubucket", pa.array(buck, pa.int32()))
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("ubucket")
+            .map_groups(user_ordered_stats_bucket, batch_format="pandas"))

@@ -1,0 +1,88 @@
+"""Text-analysis operators over a documents table (training-data pipeline
+building blocks): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.  All are stateless vectorized ``map_batches``
+transforms over Arrow batches (``pyarrow.compute`` kernels where possible).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import regex as rx
+
+# RE2-compatible token pattern (shared verbatim with the DuckDB oracle SQL)
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+_TOKEN_RX = rx.compile(TOKEN_PATTERN)
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "den", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text",
+                      out_col: str = "n_tokens") -> pa.Table:
+    """Vectorized token count (Arrow C++ kernel, no Python loop)."""
+    n = pc.count_substring_regex(batch[text_col], TOKEN_PATTERN)
+    return batch.append_column(out_col, pc.cast(n, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring metrics: char/token counts, punctuation & uppercase
+    counts, mean token length.  Integer metrics are exact (SQL-checkable);
+    the ratio is float for human use."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.!?,;:]"), pa.int64())
+    n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64())
+    token_chars = pc.cast(pc.count_substring_regex(text, r"[A-Za-z0-9_]"), pa.int64())
+    mean_tok = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.divide(pc.cast(token_chars, pa.float64()), pc.cast(n_tokens, pa.float64())),
+        pa.scalar(0.0))
+    t = batch
+    for name, col in [("n_chars_calc", n_chars), ("n_tokens", n_tokens),
+                      ("n_punct", n_punct), ("n_upper", n_upper),
+                      ("mean_token_len", mean_tok)]:
+        t = t.append_column(name, col)
+    return t
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-vote language ID (n-gram-free heuristic; deterministic).
+    Emits the winning language code or 'und'."""
+    out = []
+    for text in batch[text_col].to_pylist():
+        toks = set(t.lower() for t in _TOKEN_RX.findall(text or "")[:200])
+        best, best_n = "und", 0
+        for lang in sorted(_STOPWORDS):
+            n = len(toks & _STOPWORDS[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        out.append(best)
+    return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprints: sha1 of the normalized text (exact-dup key) and
+    a 64-bit rolling-window min-hash style fingerprint."""
+    sha, rolling = [], []
+    for text in batch[text_col].to_pylist():
+        norm = " ".join((text or "").split()).casefold()
+        sha.append(hashlib.sha1(norm.encode()).hexdigest())
+        h = np.uint64(1469598103934665603)
+        best = np.uint64(0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):
+            for ch in norm[:4096].encode():
+                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+                if h < best:
+                    best = h
+        rolling.append(int(best))
+    return (batch.append_column("content_sha1", pa.array(sha, pa.string()))
+                 .append_column("fingerprint64", pa.array(rolling, pa.uint64())))
