@@ -40,6 +40,9 @@ def _kg_outputs(sf_dir: str):
     """Run the KG pipeline once per sf_dir; both kg_* queries reuse it."""
     from pawpaw_ray.pipelines.kg import build_kg
     from pawpaw_ray.sources.transcripts import read_transcripts
+    from pawpaw_ray.tuning import tune_context
+
+    tune_context(quiet=False)
 
     d = _transcripts_dir(sf_dir)
     catalog = pq.read_table(os.path.join(d, "alias_catalog.parquet"))

@@ -1,0 +1,120 @@
+"""Benchmark harness.
+
+Headline: the flagship KG-construction pipeline (segment → SVO triples →
+entity link → coref → canonicalize → dedup + entities) over synthetic
+transcripts scaled to $GRAFT_SF_DIR, plus per-operator timings over the
+driver tables.  Prints ONE JSON line.
+
+    python bench.py               # $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling     # fresh 8-cpu and 32-cpu processes,
+                                  # reports throughputs + scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _turns_for(sf_dir: str) -> int:
+    import re
+    m = re.search(r"sf(\d+\.?\d*)", sf_dir)
+    return {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}.get(
+        m.group(1) if m else "", 20_000)
+
+
+def run_bench(sf_dir: str, ncpu: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from pawpaw_ray.tuning import tune_context
+    tune_context()
+
+    import pyarrow.parquet as pq
+    from pawpaw_ray.datagen import ensure_transcripts
+    from pawpaw_ray.pipelines.kg import build_kg
+    from pawpaw_ray.sources.transcripts import read_transcripts
+
+    n_turns = _turns_for(sf_dir)
+    d = ensure_transcripts(n_turns, use_ray=True)
+    catalog = pq.read_table(os.path.join(d, "alias_catalog.parquet"))
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    read_transcripts(d).count()
+
+    t0 = time.monotonic()
+    out = build_kg(read_transcripts(d), catalog)
+    n_triples = out["triples"].count()
+    n_entities = out["entities"].count()
+    headline = time.monotonic() - t0
+
+    # per-operator timings over the driver tables
+    import __ray_entry__ as entrymod
+    q = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in ("token_count", "quality", "top_tokens", "dedup_exact",
+                 "number_count", "events_window", "events_user_stats",
+                 "ann_topk", "simhash", "minhash_dedup", "segment_stats"):
+        import pandas as pd
+        t0 = time.monotonic()
+        res = q[name](sf_dir)
+        if not isinstance(res, pd.DataFrame):
+            res.count()  # force execution of lazy Datasets
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "n_entities": n_entities,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def fresh(n: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    r_lo, r_hi = fresh(lo), fresh(hi)
+    tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_dir,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"turns_per_sec_{lo}": tput_lo,
+        f"turns_per_sec_{hi}": tput_hi,
+        f"triples_per_sec_{lo}": r_lo["triples_per_sec"],
+        f"triples_per_sec_{hi}": r_hi["triples_per_sec"],
+        "cpu_ratio": hi / lo,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,42 @@ def _resolve_ref(ref):
     except ImportError:
         pass
     return ref
+
+
+# per-worker-process AliasIndex cache for the stateless-task variant: the
+# index is built once per process (same amortization as an actor __init__)
+# but the stage runs as an elastic task pool — no actor-pool ramp-up, which
+# dominates short jobs and bursty autoscaling
+_INDEX_CACHE: dict[str, AliasIndex] = {}
+
+
+def _cached_index(catalog_ref) -> AliasIndex:
+    key = catalog_ref.hex() if hasattr(catalog_ref, "hex") else str(id(catalog_ref))
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = AliasIndex(_resolve_ref(catalog_ref))
+        _INDEX_CACHE.clear()  # one catalog per process is the common case
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def make_triple_linker_fn(catalog_ref):
+    """Stateless map_batches fn version of :class:`TripleLinker` (broadcast
+    ref + process-cached index)."""
+
+    def link_triples(batch: pa.Table) -> pa.Table:
+        index = _cached_index(catalog_ref)
+        t = batch
+        for side in ("subj", "obj"):
+            ids, paths, cans = [], [], []
+            for s in batch[side].to_pylist():
+                eid, path, can, _ = index.lookup(s)
+                ids.append(eid)
+                paths.append(path)
+                cans.append(can)
+            t = (t.append_column(f"{side}_id", pa.array(ids, pa.string()))
+                  .append_column(f"{side}_path", pa.array(paths, pa.string()))
+                  .append_column(f"{side}_canonical", pa.array(cans, pa.string())))
+        return t
+
+    return link_triples
