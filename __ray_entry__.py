@@ -207,6 +207,21 @@ def _q_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_plumule_select(sf_dir: str):
+    """Tree query over segmented documents via the plumule-compatible query
+    engine (parity-tested vs the reference engine in tests/test_query.py):
+    every word of a sentence that mentions 'table', with its span."""
+    from pawpaw_ray.stages.segment import segment_batch
+    from pawpaw_ray.stages.select import make_select_batch
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(segment_batch, batch_format="pyarrow")
+            .map_batches(
+                make_select_batch(
+                    "**[d:sentence]{**[d:word] & [lcs:table]}/**[d:word] & [i:0-19]"),
+                batch_format="pyarrow"))
+
+
 def _q_minhash_dedup(sf_dir: str):
     from pawpaw_ray.stages.dedup import minhash_clusters
     return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]))
@@ -251,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": _q_events_user_stats,
         "number_count": _q_number_count,
         "ann_topk": _q_ann_topk,
+        "plumule_select": _q_plumule_select,
         # training-data ops (rows-only)
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
