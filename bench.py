@@ -37,33 +37,41 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     from pawpaw_ray.datagen import ensure_transcripts
     from pawpaw_ray.pipelines.kg import build_kg
     from pawpaw_ray.sources.transcripts import read_transcripts
+    from pawpaw_ray.tuning import read_blocks_for
 
-    n_turns = _turns_for(sf_dir)
+    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", 0)) or _turns_for(sf_dir)
     d = ensure_transcripts(n_turns, use_ray=True)
     catalog = pq.read_table(os.path.join(d, "alias_catalog.parquet"))
+    n_blocks = read_blocks_for(ncpu)
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     read_transcripts(d).count()
 
     t0 = time.monotonic()
-    out = build_kg(read_transcripts(d), catalog)
+    out = build_kg(read_transcripts(d, override_num_blocks=n_blocks), catalog)
     n_triples = out["triples"].count()
     n_entities = out["entities"].count()
     headline = time.monotonic() - t0
 
     # per-operator timings over the driver tables
-    import __ray_entry__ as entrymod
-    q = entrymod.queries()
     qtimes: dict[str, float] = {}
-    for name in ("token_count", "quality", "top_tokens", "dedup_exact",
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        names = ()
+    else:
+        names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
-                 "ann_topk", "simhash", "minhash_dedup", "segment_stats"):
+                 "ann_topk", "simhash", "minhash_dedup", "segment_stats",
+                 "plumule_select")
+    if names:
         import pandas as pd
-        t0 = time.monotonic()
-        res = q[name](sf_dir)
-        if not isinstance(res, pd.DataFrame):
-            res.count()  # force execution of lazy Datasets
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        import __ray_entry__ as entrymod
+        q = entrymod.queries()
+        for name in names:
+            t0 = time.monotonic()
+            res = q[name](sf_dir)
+            if not isinstance(res, pd.DataFrame):
+                res.count()  # force execution of lazy Datasets
+            qtimes[name] = round(time.monotonic() - t0, 3)
 
     result = {
         "metric": "kg_pipeline_sec",
@@ -83,26 +91,54 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes (sandbox
+    stand-in for N- vs 4N-node clusters).
+
+    The scaling fixture is 5x the per-round bench size: per-job fixed costs
+    (driver, shuffle barriers, worker spin-up — none of which grow with
+    cluster size) would otherwise dominate a ~10 s job and mask the scaling
+    behavior that matters at 100 TB, where jobs run hours, not seconds.
+    """
+    n_turns = 5 * (int(os.environ.get("GRAFT_BENCH_TURNS", 0)) or _turns_for(sf_dir))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+
     def fresh(n: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_BENCH_TURNS=str(n_turns),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
-    r_lo, r_hi = fresh(lo), fresh(hi)
-    tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+
+    # The sandbox host is a shared VM: single runs swing ~2x with noisy
+    # neighbors.  Interleave lo/hi reps and take per-level medians.
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(fresh(lo))
+        runs_hi.append(fresh(hi))
+
+    def med(rs, k):
+        vals = sorted(r[k] for r in rs)
+        return vals[len(vals) // 2]
+
+    tput_lo, tput_hi = med(runs_lo, "turns_per_sec"), med(runs_hi, "turns_per_sec")
     eff = (tput_hi / tput_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": sf_dir,
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
+        "n_turns": n_turns,
+        "reps": reps,
+        f"sec_{lo}": med(runs_lo, "value"),
+        f"sec_{hi}": med(runs_hi, "value"),
         f"turns_per_sec_{lo}": tput_lo,
         f"turns_per_sec_{hi}": tput_hi,
-        f"triples_per_sec_{lo}": r_lo["triples_per_sec"],
-        f"triples_per_sec_{hi}": r_hi["triples_per_sec"],
+        f"triples_per_sec_{lo}": med(runs_lo, "triples_per_sec"),
+        f"triples_per_sec_{hi}": med(runs_hi, "triples_per_sec"),
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         "cpu_ratio": hi / lo,
     }
 

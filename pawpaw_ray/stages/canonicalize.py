@@ -53,24 +53,32 @@ def _crc_bucket(values: list[str], n_buckets: int) -> np.ndarray:
         dtype=np.int32, count=len(values))
 
 
-def canonical_keys_batch(batch: pa.Table) -> pa.Table:
-    """Append ``subj_key`` / ``obj_key`` (see module docstring)."""
-    pron = batch["subj_is_pronoun"].to_pylist() if "subj_is_pronoun" in batch.column_names \
-        else [False] * len(batch)
-    t = batch
+def canonical_keys_pdf(df: pd.DataFrame) -> pd.DataFrame:
+    """Append ``subj_key`` / ``obj_key`` (see module docstring), vectorized:
+    normalization + sha1 run once per UNIQUE unlinked surface, not per row."""
+    pron = (df["subj_is_pronoun"].to_numpy()
+            if "subj_is_pronoun" in df.columns
+            else np.zeros(len(df), dtype=bool))
     for side in ("subj", "obj"):
-        ids = batch[f"{side}_id"].to_pylist()
-        surfaces = batch[side].to_pylist()
-        keys = []
-        for j, (i, s) in enumerate(zip(ids, surfaces)):
-            if i is not None:
-                keys.append(i)
-            elif side == "subj" and pron[j]:
-                keys.append(None)  # unresolved pronoun: no entity
-            else:
-                keys.append(synthetic_id(normalize_surface(s)))
-        t = t.append_column(f"{side}_key", pa.array(keys, pa.string()))
-    return t
+        ids = df[f"{side}_id"]
+        keys = ids.copy()
+        unlinked = ids.isna().to_numpy()
+        if side == "subj":
+            # unresolved pronoun: no entity (null key)
+            unlinked = unlinked & ~pron
+        if unlinked.any():
+            surf = df.loc[unlinked, side]
+            uniq = pd.unique(surf)
+            lut = {s: synthetic_id(normalize_surface(s)) for s in uniq}
+            keys[unlinked] = surf.map(lut)
+        df[f"{side}_key"] = keys
+    return df
+
+
+def canonical_keys_batch(batch: pa.Table) -> pa.Table:
+    """Arrow wrapper over :func:`canonical_keys_pdf`."""
+    return pa.Table.from_pandas(
+        canonical_keys_pdf(batch.to_pandas()), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

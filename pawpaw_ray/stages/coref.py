@@ -94,6 +94,23 @@ def resolve_bucket(g: pd.DataFrame, window_turns: int,
     return g
 
 
+def tails_partial_pdf(df: pd.DataFrame) -> pd.DataFrame:
+    """Last antecedent row per (conv, chunk) of ``df`` — associative partial
+    of the carry-table reduce (columns conv_id/chunk/turn_idx(tail_turn)/
+    s_start/subj_id(tail_id)/subj_canonical(tail_can))."""
+    if "tail_turn" not in df.columns:
+        df = df.rename(columns={"turn_idx": "tail_turn", "subj_id": "tail_id",
+                                "subj_canonical": "tail_can"})
+    if not len(df):
+        return df[["conv_id", "chunk", "tail_turn", "s_start",
+                   "tail_id", "tail_can"]]
+    df = df.sort_values(["conv_id", "chunk", "tail_turn", "s_start"],
+                        kind="mergesort")
+    return (df.groupby(["conv_id", "chunk"], sort=False).tail(1)
+            [["conv_id", "chunk", "tail_turn", "s_start", "tail_id", "tail_can"]]
+            .reset_index(drop=True))
+
+
 def tails_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """Per (conv, chunk): the last person-entity subject row (vectorized —
     input is pre-filtered to candidate antecedent rows only)."""
@@ -109,17 +126,77 @@ def tails_bucket(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
-                  n_buckets: int = DEFAULT_BUCKETS):
-    """Salted, bucketed coreference resolution over a linked-triples Dataset.
+def resolve_conv_bucket(g: pd.DataFrame, window_turns: int) -> pd.DataFrame:
+    """Resolve one conv-hash bucket: whole conversations are co-located, so
+    the antecedent scan needs no carry at all."""
+    g = g.sort_values(["conv_id", "turn_idx", "s_start"],
+                      kind="mergesort").reset_index(drop=True)
+    subj_id = g["subj_id"].to_numpy(dtype=object).copy()
+    subj_path = g["subj_path"].to_numpy(dtype=object).copy()
+    subj_can = g["subj_canonical"].to_numpy(dtype=object).copy()
+    via = np.zeros(len(g), dtype=bool)
+    pron = g["subj_is_pronoun"].to_numpy()
+    turns = g["turn_idx"].to_numpy()
 
-    Requires ``chunk_turns > window_turns`` so a carry never has to reach
-    past one chunk boundary.
+    codes, _ = pd.factorize(g["conv_id"], sort=False)
+    boundaries = np.flatnonzero(np.diff(codes, prepend=-1))
+    boundaries = np.append(boundaries, len(g))
+    for b0, b1 in zip(boundaries[:-1], boundaries[1:]):
+        _resolve_arrays(turns[b0:b1], pron[b0:b1], subj_id[b0:b1],
+                        subj_path[b0:b1], subj_can[b0:b1], via[b0:b1],
+                        window_turns, None)
+    g["subj_id"] = subj_id
+    g["subj_path"] = subj_path
+    g["subj_canonical"] = subj_can
+    g["via_coref"] = via
+    return g
+
+
+def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
+                  n_buckets: int = DEFAULT_BUCKETS, salt_chunks: bool = False,
+                  add_keys: bool = False):
+    """Conversation-ordered coreference in ONE groupby shuffle.
+
+    Default: bucket on ``hash(conv_id) % B`` — whole conversations land in
+    one group, the antecedent scan is carry-free, and the stage costs exactly
+    one shuffle pass (no tails pass, no extra materialization).
+
+    ``salt_chunks=True`` switches to the salted ``(conv_id, turn_idx //
+    chunk_turns)`` keying with carry-table stitching for mega-conversation
+    skew (a single conversation holding a significant share of all turns) —
+    the bounded-group path the north rule requires at 10^12-turn scale.
+    Both variants produce identical output (tests/test_coref.py).
     """
+    if not salt_chunks:
+        def add_bucket(b: pa.Table) -> pa.Table:
+            conv = b["conv_id"].to_pylist()
+            buck = np.fromiter(
+                (zlib.crc32(c.encode()) % n_buckets for c in conv),
+                dtype=np.int32, count=len(conv))
+            return b.append_column("cbucket", pa.array(buck, pa.int32()))
+
+        if add_keys:
+            # fuse canonical-key assignment into the same group pass — one
+            # shuffle produces resolve + keys, saving a full map pass over
+            # every triple row
+            from pawpaw_ray.stages.canonicalize import canonical_keys_pdf
+
+            def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+                return canonical_keys_pdf(resolve_conv_bucket(g, window_turns))
+        else:
+            def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+                return resolve_conv_bucket(g, window_turns)
+
+        return (triples_ds
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("cbucket")
+                .map_groups(group_fn, batch_format="pandas")
+                .drop_columns(["cbucket"]))
+
     assert chunk_turns > window_turns
     import ray
 
-    def add_keys(b: pa.Table) -> pa.Table:
+    def add_salt_cols(b: pa.Table) -> pa.Table:
         turn = b["turn_idx"].to_numpy()
         chunk = (turn // chunk_turns).astype(np.int64)
         conv = b["conv_id"].to_pylist()
@@ -131,25 +208,26 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
 
     # compact triple rows; two consumers below — pin once so the raw-text
     # upstream (segment/extract/link) executes exactly once
-    salted = triples_ds.map_batches(add_keys, batch_format="pyarrow").materialize()
+    salted = triples_ds.map_batches(add_salt_cols, batch_format="pyarrow").materialize()
 
-    # carry table: candidate antecedent rows only (tiny) → per-chunk tails →
-    # forward-shift one chunk (sufficient because chunk_turns > window_turns)
-    def antecedents_only(b: pa.Table) -> pa.Table:
+    # Carry table WITHOUT a shuffle: per-batch partial tails (the last
+    # antecedent row of every (conv, chunk) present in the batch) are tiny —
+    # one row per (conv, chunk) per block — and "last" is associative, so the
+    # driver reduces partials with one more tail-pick.  The carry for chunk
+    # k+1 is chunk k's tail; chunk_turns > window_turns guarantees no carry
+    # ever reaches further back.
+    def tail_partials(b: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.invert(b["subj_is_pronoun"]),
             pc.and_(pc.is_valid(b["subj_id"]),
                     pc.starts_with(pc.coalesce(b["subj_path"], ""), PERSON_PREFIX)))
-        return b.filter(keep)
+        t = b.filter(keep)
+        df = t.select(["conv_id", "chunk", "turn_idx", "s_start",
+                       "subj_id", "subj_canonical"]).to_pandas()
+        return pa.Table.from_pandas(tails_partial_pdf(df), preserve_index=False)
 
-    tails_pdf = (salted
-                 .map_batches(antecedents_only, batch_format="pyarrow")
-                 .groupby("cbucket")
-                 .map_groups(tails_bucket, batch_format="pandas")
-                 .to_pandas())
-    # NOTE driver-side collect: one row per (conv, chunk) that has any
-    # antecedent — 1/chunk_turns of the triple count.  At extreme scale this
-    # becomes a broadcast-join instead; the carry table stays the small side.
+    tails_pdf = tails_partial_pdf(
+        salted.map_batches(tail_partials, batch_format="pyarrow").to_pandas())
     carry_map = {
         (r.conv_id, int(r.chunk) + 1): {"turn": int(r.tail_turn),
                                         "id": r.tail_id, "can": r.tail_can}
@@ -157,9 +235,15 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
     }
     carry_ref = ray.put(carry_map)
 
-    def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(carry_ref)
-        return resolve_bucket(g, window_turns, cm)
+    if add_keys:
+        from pawpaw_ray.stages.canonicalize import canonical_keys_pdf
+
+        def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
+            return canonical_keys_pdf(
+                resolve_bucket(g, window_turns, ray.get(carry_ref)))
+    else:
+        def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
+            return resolve_bucket(g, window_turns, ray.get(carry_ref))
 
     resolved = salted.groupby("cbucket").map_groups(
         resolve_with_carry, batch_format="pandas")

@@ -80,6 +80,41 @@ def test_in_chunk_antecedent_preferred_over_carry():
     assert out.loc[1, "subj_id"] == "ent-2"
 
 
+def test_salted_and_unsalted_paths_agree(ray_session):
+    """The conv-bucket fast path and the salted-chunk skew path must emit
+    identical resolutions — including across chunk boundaries of a
+    mega-conversation."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.coref import resolve_coref
+
+    rows = []
+    # mega-conversation: person antecedents + pronouns straddling the
+    # chunk_turns=16 boundaries (window 8)
+    for t in range(0, 200, 5):
+        rows.append(("mega", 0, t, 0, "Alice Brandt", False,
+                     "ent-1", "person", "Alice Brandt"))
+        rows.append(("mega", 0, t + 2, 0, "He", True, None, None, None))
+    for c in range(20):  # plus many small conversations
+        rows.append((f"c{c}", 0, 0, 0, "Bob Costa", False,
+                     "ent-2", "person", "Bob Costa"))
+        rows.append((f"c{c}", 0, 3, 0, "She", True, None, None, None))
+        rows.append((f"c{c}", 0, 99, 0, "She", True, None, None, None))
+    pdf = mk(rows).drop(columns=["chunk"])
+    ds = rd.from_pandas(pdf).repartition(6)
+
+    key = ["conv_id", "turn_idx", "s_start"]
+    fast = (resolve_coref(ds, window_turns=8)
+            .to_pandas().sort_values(key).reset_index(drop=True))
+    salted = (resolve_coref(ds, window_turns=8, chunk_turns=16,
+                            salt_chunks=True)
+              .to_pandas().sort_values(key).reset_index(drop=True))
+    assert fast["via_coref"].sum() > 0
+    pd.testing.assert_frame_equal(
+        fast[key + ["subj_id", "via_coref", "subj_canonical"]],
+        salted[key + ["subj_id", "via_coref", "subj_canonical"]])
+
+
 def test_multiple_conversations_in_one_bucket_stay_isolated():
     g = mk([
         ("c1", 0, 0, 0, "Alice Brandt", False, "ent-1", "person", "Alice Brandt"),

@@ -151,3 +151,37 @@ def test_zero_split_and_boundary_flags():
     got = split_by_boundaries((0, 7), [(1, 2), (4, 5)], Retention.ALL)
     assert got == [((0, 1), False), ((1, 2), True), ((2, 4), False),
                    ((4, 5), True), ((5, 7), False)]
+
+
+def test_tree_rows_on_sliced_and_chunked_batches():
+    """Ray hands map UDFs zero-copy block slices; tree_rows must read spans
+    identically on sliced, chunked, and contiguous tables (regression: a
+    sliced ListArray's .offsets are absolute while .flatten() rebases)."""
+    import pyarrow as pa
+
+    from pawpaw_ray.stages.segment import segment_batch, tree_rows
+    from pawpaw_ray.stages.triples import triples_batch
+
+    texts = [f"Alice met Bob number {i}. They left." for i in range(50)]
+    full = segment_batch(pa.table({
+        "conv_id": [f"c{i}" for i in range(50)],
+        "turn_idx": pa.array(range(50), pa.int32()),
+        "text": texts}))
+
+    def rows_of(tbl):
+        return [(i, list(s), list(e)) for i, s, e, _, _ in tree_rows(tbl)]
+
+    sliced = full.slice(10, 20)
+    expect = rows_of(full)[10:30]
+    got = rows_of(sliced)
+    assert [r[1:] for r in got] == [r[1:] for r in expect]
+
+    # chunked: two slices concatenated → row indices must stay global
+    chunked = pa.concat_tables([full.slice(0, 30), full.slice(30, 20)])
+    assert rows_of(chunked) == rows_of(full)
+
+    # end-to-end: triple extraction must agree on slice vs full
+    t_full = triples_batch(full).to_pandas()
+    t_slice = triples_batch(sliced).to_pandas()
+    t_full_sub = t_full[t_full["conv_id"].isin(t_slice["conv_id"])].reset_index(drop=True)
+    assert t_slice.reset_index(drop=True).equals(t_full_sub)
