@@ -222,6 +222,38 @@ def _q_plumule_select(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+def _q_q1_pricing(sf_dir: str):
+    from pawpaw_ray.stages.relational import q1_pricing
+    return q1_pricing(sf_dir)
+
+
+def _q_top_customers(sf_dir: str):
+    from pawpaw_ray.stages.relational import top_customers
+    return top_customers(sf_dir)
+
+
+def _q_region_revenue(sf_dir: str):
+    from pawpaw_ray.stages.relational import region_revenue
+    return region_revenue(sf_dir)
+
+
+def _q_table_extract(sf_dir: str):
+    """ASCII tables in tool-output turns → parsed cell rows (grid style;
+    reference StyledTable grammar parity in tests/test_tables.py)."""
+    from pawpaw_ray.sources.transcripts import read_transcripts
+    from pawpaw_ray.stages.tables import extract_tables_batch, filter_tool_turns
+
+    d = _transcripts_dir(sf_dir)
+    ds = (read_transcripts(d, columns=["conv_id", "turn_idx", "role", "text"])
+          .map_batches(filter_tool_turns, batch_format="pyarrow")
+          .map_batches(extract_tables_batch, batch_format="pyarrow"))
+    out = ds.to_pandas().sort_values(
+        ["conv_id", "turn_idx", "table_idx", "row_idx"]).reset_index(drop=True)
+    out["cells"] = out["cells"].map(lambda c: "|".join(c))
+    out["header"] = out["header"].map(lambda c: "|".join(c) if c is not None else None)
+    return out
+
+
 def _q_minhash_dedup(sf_dir: str):
     from pawpaw_ray.stages.dedup import minhash_clusters
     return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]))
@@ -267,6 +299,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "number_count": _q_number_count,
         "ann_topk": _q_ann_topk,
         "plumule_select": _q_plumule_select,
+        # relational layer (SQL-checked): map-side combine, broadcast join,
+        # groupby-sum, top-k
+        "q1_pricing": _q_q1_pricing,
+        "top_customers": _q_top_customers,
+        "region_revenue": _q_region_revenue,
+        # table extraction from tool turns (rows-only)
+        "table_extract": _q_table_extract,
         # training-data ops (rows-only)
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
@@ -326,6 +365,31 @@ def oracle_sql() -> dict[str, str]:
         "number_count":
             f"SELECT doc_id, len(regexp_extract_all(text, '{_NUMBER_SQL_PATTERN}')) "
             "AS n_numbers FROM documents",
+        "q1_pricing":
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_cc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus",
+        "top_customers":
+            "WITH t AS (SELECT o_custkey, "
+            "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "  count(*) AS n_orders FROM orders GROUP BY o_custkey) "
+            "SELECT t.o_custkey, c.c_name, t.revenue_cents, t.n_orders "
+            "FROM t JOIN customer c ON c.c_custkey = t.o_custkey "
+            "ORDER BY t.revenue_cents DESC, t.o_custkey ASC LIMIT 10",
+        "region_revenue":
+            "SELECT r.r_name, "
+            "CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "count(*) AS n_orders "
+            "FROM orders o "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "GROUP BY r.r_name ORDER BY r.r_name",
         "ann_topk":
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             f"           WHERE vec_id IN ({ann_ids})), "

@@ -1,0 +1,145 @@
+"""Relational pipelines over the TPC-H-ish driver tables.
+
+The reference has no joins or relational aggregates (single-document
+model, SURVEY.md §2.4-2.5) — these are the engine-new relational layer,
+built on the idioms the 100 TB design requires:
+
+* **Map-side combine**: per-batch partial aggregation inside
+  ``map_batches`` so the wide step moves partials, never raw rows.
+* **Broadcast hash join**: the small side (customer/nation/region) is
+  ``ray.put`` once and read inside tasks — no shuffle join for
+  dimension tables.
+* **Exact numerics for verifiability**: money is aggregated in integer
+  cents (``round(x*100) → int64``) so Ray and the DuckDB oracle agree
+  bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _cents(x) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter → map-side combine → tiny final reduce
+# ---------------------------------------------------------------------------
+
+def q1_pricing(sf_dir: str, ship_cutoff: str = "1998-09-02") -> pd.DataFrame:
+    cutoff = pd.Timestamp(ship_cutoff)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        df["sum_qty"] = df["l_quantity"].astype("int64")
+        df["sum_base_cents"] = _cents(df["l_extendedprice"])
+        # discounted value in integer cent-hundredths: cents x (100 - bp)
+        # where bp = discount in whole percent — all-integer, so Ray and the
+        # SQL oracle agree exactly (float rounding of price*(1-disc) ties
+        # differently between numpy round-half-even and SQL half-away)
+        bp = _cents(df["l_discount"])  # 0.05 -> 5
+        df["sum_disc_cc"] = df["sum_base_cents"] * (100 - bp)
+        agg = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                 .agg(sum_qty=("sum_qty", "sum"),
+                      sum_base_cents=("sum_base_cents", "sum"),
+                      sum_disc_cc=("sum_disc_cc", "sum"),
+                      count_order=("l_quantity", "size"))
+                 .reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = (_read(sf_dir, "lineitem",
+                      ["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_shipdate"])
+                .map_batches(partial, batch_format="pyarrow")
+                .to_pandas())
+    # final reduce: cardinality is bounded by |returnflag| x |linestatus|
+    out = (partials.groupby(["l_returnflag", "l_linestatus"], sort=False)
+           .sum().reset_index()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# top customers by revenue: groupby-sum + broadcast dimension join + top-k
+# ---------------------------------------------------------------------------
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["revenue_cents"] = _cents(df["o_totalprice"])
+        agg = (df.groupby("o_custkey", sort=False)
+                 .agg(revenue_cents=("revenue_cents", "sum"),
+                      n_orders=("o_totalprice", "size"))
+                 .reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    totals = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                         Sum("n_orders", alias_name="n_orders"))
+              .to_pandas())
+    top = (totals.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    names = ray.get(name_ref)
+    top["c_name"] = top["o_custkey"].map(names)
+    top["n_orders"] = top["n_orders"].astype("int64")
+    return top[["o_custkey", "c_name", "revenue_cents", "n_orders"]]
+
+
+# ---------------------------------------------------------------------------
+# revenue by region: two broadcast dimension hops + map-side combine
+# ---------------------------------------------------------------------------
+
+def region_revenue(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    cust_region = {c: r2name[n2r[n]]
+                   for c, n in zip(cust["c_custkey"], cust["c_nationkey"])}
+    lookup_ref = ray.put(cust_region)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)
+        df = b.to_pandas()
+        df["r_name"] = df["o_custkey"].map(lut)
+        df["revenue_cents"] = _cents(df["o_totalprice"])
+        agg = (df.groupby("r_name", sort=False)
+                 .agg(revenue_cents=("revenue_cents", "sum"),
+                      n_orders=("o_totalprice", "size"))
+                 .reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                .map_batches(partial, batch_format="pyarrow")
+                .to_pandas())
+    out = (partials.groupby("r_name", sort=False).sum().reset_index()
+           .sort_values("r_name").reset_index(drop=True))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
