@@ -266,6 +266,51 @@ def _q_simhash(sf_dir: str):
             .select_columns(["doc_id", "simhash64"]))
 
 
+def _q_near_dup_jaccard(sf_dir: str):
+    from pawpaw_ray.stages.dedup import near_dup_jaccard
+    return near_dup_jaccard(_docs(sf_dir, ["doc_id", "text"]),
+                            threshold=0.5, bands=16)
+
+
+def _q_simhash_clusters(sf_dir: str):
+    from pawpaw_ray.stages.dedup import simhash_clusters
+    return simhash_clusters(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+    from pawpaw_ray.stages.similarity import embedding_near_dup
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return embedding_near_dup(emb, threshold=0.95, n_bits=8)
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    import ray.data as rd
+    from pawpaw_ray.stages.similarity import ann_topk_lsh
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out = ann_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K, n_bits=3)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payloads → actor-pool decode →
+    features/resize-plan/frame-sample (decode kernel is a deterministic
+    stub; see stages/multimodal.py)."""
+    import ray.data as rd
+    from pawpaw_ray.stages.multimodal import ensure_media_parquet, media_pipeline
+
+    n = max(300, _turns_for(sf_dir) // 20)
+    ds = media_pipeline(rd.read_parquet(ensure_media_parquet(n)))
+    out = ds.to_pandas().sort_values("media_id").reset_index(drop=True)
+    out["embedding"] = out["embedding"].map(
+        lambda v: "|".join(f"{x:.6f}" for x in v))
+    out["sampled_frames"] = out["sampled_frames"].map(
+        lambda v: ",".join(map(str, v)))
+    return out
+
+
 def _q_langid(sf_dir: str):
     from pawpaw_ray.stages.textstats import langid_batch
     return (_docs(sf_dir, ["doc_id", "text"])
@@ -308,7 +353,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_extract": _q_table_extract,
         # training-data ops (rows-only)
         "minhash_dedup": _q_minhash_dedup,
+        "near_dup_jaccard": _q_near_dup_jaccard,
         "simhash": _q_simhash,
+        "simhash_clusters": _q_simhash_clusters,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "media_features": _q_media_features,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
     }

@@ -216,3 +216,136 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def _cluster_pairs(pairs_a, pairs_b, all_ids) -> pd.DataFrame:
+    """Min-label connected components from verified pairs (driver-side —
+    pairs are a tiny fraction; at extreme scale replace with iterative
+    min-label propagation rounds)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_a, pairs_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return pd.DataFrame({
+        "doc_id": np.asarray(all_ids, dtype=np.int64),
+        "cluster_id": np.fromiter((find(int(i)) for i in all_ids),
+                                  dtype=np.int64, count=len(all_ids)),
+    })
+
+
+def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
+                     bands: int = 8, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text", concurrency=(1, 8)) -> pd.DataFrame:
+    """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard ≥ threshold.
+
+    The LSH pass bounds candidate pairs; verification fetches only the
+    candidate documents' texts (filtered read, broadcast once) and runs the
+    set-overlap kernel distributed over the pair list.  Output:
+    (doc_id, cluster_id) like :func:`minhash_clusters`, but without LSH
+    false positives.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    bands_ds = docs_ds.map_batches(
+        MinHashLSH, fn_constructor_kwargs={
+            "num_perm": num_perm, "bands": bands, "k": k,
+            "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    pairs = (bands_ds.groupby(["band", "band_hash"])
+             .map_groups(_pairs_from_bucket, batch_format="pandas")
+             .to_pandas())
+    if "a" not in pairs.columns:  # zero candidate pairs anywhere
+        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
+    pairs = pairs.drop_duplicates(["a", "b"])
+
+    all_ids = docs_ds.select_columns([id_col]).to_pandas()[id_col]
+    if not len(pairs):
+        return _cluster_pairs([], [], all_ids)
+
+    cand_ids = pa.array(np.unique(np.concatenate(
+        [pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)])))
+    cand = (docs_ds.map_batches(
+                lambda b: b.filter(pc.is_in(b[id_col], value_set=cand_ids)),
+                batch_format="pyarrow")
+            .to_pandas())
+    texts_ref = ray.put(dict(zip(cand[id_col], cand[text_col])))
+
+    def verify(b: pa.Table) -> pa.Table:
+        lut = ray.get(texts_ref)
+        aa = b["a"].to_pylist()
+        bb = b["b"].to_pylist()
+        sims = [jaccard(lut.get(x, ""), lut.get(y, ""), k) for x, y in zip(aa, bb)]
+        keep = pa.array([s >= threshold for s in sims], pa.bool_())
+        return b.append_column("jaccard", pa.array(sims, pa.float64())).filter(keep)
+
+    verified = (rd.from_pandas(pairs.reset_index(drop=True))
+                .map_batches(verify, batch_format="pyarrow")
+                .to_pandas())
+    return _cluster_pairs(verified["a"].tolist(), verified["b"].tolist(), all_ids)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """SimHash near-dup: band the 64-bit signature into 4 x 16-bit keys
+    (any pair within Hamming distance 3 shares at least one exact band by
+    pigeonhole), bucket-groupby per band, verify Hamming ≤ ``max_hamming``
+    inside buckets, then min-label clusters."""
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        sigs = [simhash64(t) for t in b[text_col].to_pylist()]
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, s in enumerate(sigs):
+            for band in range(4):
+                out_id.append(b[id_col][i].as_py())
+                out_band.append(band)
+                out_key.append((s >> (band * 16)) & 0xFFFF)
+                out_sig.append(s)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.uint64()),
+            "simhash64": pa.array(out_sig, pa.uint64()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy(np.int64)
+        sigs = g["simhash64"].to_numpy(np.uint64)
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if hamming64(int(sigs[i]), int(sigs[j])) <= max_hamming:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
+                             "b": pd.Series(out_b, dtype=np.int64)})
+
+    pairs = (docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+             .groupby(["band", "band_key"])
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .to_pandas())
+    if "a" not in pairs.columns:  # zero candidate pairs anywhere
+        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
+    pairs = pairs.drop_duplicates(["a", "b"])
+    all_ids = docs_ds.select_columns([id_col]).to_pandas()[id_col]
+    return _cluster_pairs(pairs["a"].tolist(), pairs["b"].tolist(), all_ids)

@@ -1,0 +1,121 @@
+"""Near-dup variants (Jaccard-verified, SimHash, embedding-cosine),
+LSH ANN, and the multimodal stub pipeline."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique document number {i} about "
+                     f"topic-{i} with content {i * 7} and more filler words"})
+    # near-dup group: 100..102 (small edits), exact dup pair 103/104
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " extra"})
+    rows.append({"doc_id": 102, "text": base.replace("lazy", "sleepy")})
+    rows.append({"doc_id": 103, "text": "identical twin text here"})
+    rows.append({"doc_id": 104, "text": "identical twin text here"})
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+
+def test_near_dup_jaccard(docs_with_dups):
+    from pawpaw_ray.stages.dedup import near_dup_jaccard
+
+    # bands=16 (4 rows/band): ~0.99 candidate recall at Jaccard 0.7
+    out = near_dup_jaccard(docs_with_dups, threshold=0.5, bands=16)
+    byid = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert byid[100] == byid[101] == byid[102] == 100
+    assert byid[103] == byid[104] == 103
+    assert byid[0] == 0 and byid[1] == 1  # uniques stay singleton
+
+
+def test_simhash_clusters(docs_with_dups):
+    from pawpaw_ray.stages.dedup import simhash_clusters
+
+    out = simhash_clusters(docs_with_dups, max_hamming=6)
+    byid = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert byid[103] == byid[104] == 103  # exact dups: hamming 0
+    assert byid[100] == byid[101]         # one-word append: tiny hamming
+    assert byid[0] != byid[1]
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((50, 32))
+    vecs[41] = vecs[40] + 0.01 * rng.standard_normal(32)  # near-dup pair
+    vecs[42] = vecs[40] + 0.01 * rng.standard_normal(32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    return rd.from_arrow(tbl).repartition(3)
+
+
+def test_embedding_near_dup(embeddings_ds):
+    from pawpaw_ray.stages.similarity import embedding_near_dup
+
+    out = embedding_near_dup(embeddings_ds, threshold=0.95, n_bits=6)
+    byid = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert byid[40] == byid[41] == byid[42] == 40
+    singleton = [i for i in range(40) if byid[i] == i]
+    assert len(singleton) >= 35  # random vectors rarely pass 0.95 cosine
+
+
+def test_ann_topk_lsh_vs_bruteforce(embeddings_ds):
+    from pawpaw_ray.stages.similarity import ann_topk, ann_topk_lsh
+
+    exact = ann_topk(embeddings_ds, [40], k=5)
+    approx = ann_topk_lsh(embeddings_ds, [40], k=5, n_bits=4)
+    # the query's own bucket always contains itself + its near-dups
+    got = set(approx["vec_id"])
+    assert 40 in got and {41, 42} <= got
+    # recall vs exact top-5
+    assert len(set(exact["vec_id"]) & got) >= 3
+    assert list(approx.columns) == ["query_id", "vec_id", "sim", "rank",
+                                    "lsh_code"]
+
+
+def test_media_pipeline(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.multimodal import (
+        FakeCodec,
+        ensure_media_parquet,
+        media_pipeline,
+        synthesize_media,
+    )
+
+    path = ensure_media_parquet(90)
+    out = media_pipeline(rd.read_parquet(path)).to_pandas()
+    assert len(out) == 90
+    assert set(out.columns) == {"media_id", "kind", "width", "height",
+                                "n_frames", "n_bytes", "embedding",
+                                "target_w", "target_h", "sampled_frames"}
+    # resize plan: aspect preserved, capped
+    assert (out[["target_w", "target_h"]].max(axis=1) <= 256).all()
+    # frame sampling only for videos
+    vid = out[out["kind"] == "video"]
+    img = out[out["kind"] == "image"]
+    assert (vid["sampled_frames"].map(len) >= 1).all()
+    assert (img["sampled_frames"].map(len) == 0).all()
+    # deterministic: same seed → same embedding
+    t = synthesize_media(5)
+    e1 = FakeCodec().embed(t["payload"][0].as_py())
+    e2 = FakeCodec().embed(t["payload"][0].as_py())
+    assert np.array_equal(e1, e2) and len(e1) == 16
+
+    # a non-synthetic payload must fail loudly (real codec is stubbed)
+    with pytest.raises(NotImplementedError):
+        FakeCodec().decode_meta(b"JPEG\x00\x00\x00\x00\x00\x00rubbish")
