@@ -311,6 +311,42 @@ def _q_media_features(sf_dir: str):
     return out
 
 
+def _q_xml_extract(sf_dir: str):
+    """Span-indexed XML parsing (reference XmlParser parity in
+    tests/test_xmlspans.py) as a map_batches extractor over synthetic
+    XML tool payloads."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pawpaw_ray.kernels.xmlspans import parse_xml_spans
+
+    n = max(200, _turns_for(sf_dir) // 100)
+    docs = [(i, f'<doc id="{i}"><title>t{i}</title>'
+                f'<body lang="en">word{i} <!-- c{i} --> tail{i}</body></doc>')
+            for i in range(n)]
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "xml": pa.array([d[1] for d in docs], pa.string())}))
+
+    def extract(b: pa.Table) -> pa.Table:
+        ids, descs, starts, stops, pieces = [], [], [], [], []
+        for i, x in zip(b["doc_id"].to_pylist(), b["xml"].to_pylist()):
+            for s, e, d, _ in parse_xml_spans(x):
+                ids.append(i)
+                descs.append(d)
+                starts.append(s)
+                stops.append(e)
+                pieces.append(x[s:e] if d in ("tag", "name", "value", "text") else "")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "desc": pa.array(descs, pa.string()),
+                         "start": pa.array(starts, pa.int32()),
+                         "stop": pa.array(stops, pa.int32()),
+                         "piece": pa.array(pieces, pa.string())})
+
+    out = src.map_batches(extract, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "start", "stop", "desc"]).reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     from pawpaw_ray.stages.textstats import langid_batch
     return (_docs(sf_dir, ["doc_id", "text"])
@@ -359,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "media_features": _q_media_features,
+        "xml_extract": _q_xml_extract,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
     }

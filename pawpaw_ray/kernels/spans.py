@@ -281,6 +281,85 @@ def gaps(
     return out
 
 
+def from_substrings(text: str, span: Span, *substrings: str) -> list[Span]:
+    """Locate ordered, non-overlapping literal substrings left→right
+    (``Ito.from_substrings``, ``/root/reference/pawpaw/ito.py:271-314``);
+    raises ``ValueError`` when a substring is absent in the remaining
+    window (``str.index`` semantics)."""
+    i, j = span
+    out: list[Span] = []
+    for sub in substrings:
+        i = text.index(sub, i, j)
+        k = i + len(sub)
+        out.append((i, k))
+        i = k
+    return out
+
+
+def nest_spans(spans: Sequence[tuple[Span, str | None]], base: int = 0) -> list[Node]:
+    """Nest arbitrary (span, desc) pairs by containment: sort by
+    ``(start, -stop)``, stack-nest — the flat-array form of
+    ``ChildItos.add_hierarchical`` for nested-or-disjoint inputs
+    (``/root/reference/pawpaw/ito.py:1546-1615``)."""
+    pairs = sorted(spans, key=lambda p: (p[0][0], -p[0][1]))
+    nodes: list[Node] = []
+    stack: list[int] = []
+    for (s, e), desc in pairs:
+        while stack and (s < nodes[stack[-1]][0] or e > nodes[stack[-1]][1]):
+            stack.pop()
+        parent = stack[-1] + base if stack else -1
+        nodes.append((s, e, desc, parent))
+        stack.append(len(nodes) - 1)
+    return nodes
+
+
+def adopt_spans(spans: Sequence[tuple[Span, str | None]],
+                desc: str | None = None) -> list[Node]:
+    """Synthesize a parent covering min-start..max-stop with the inputs
+    nested hierarchically beneath it (``Ito.adopt``, ``ito.py:721-764``;
+    value-equal duplicates collapse, as the reference's set does).
+    Returns the flat preorder node list, root first."""
+    if not spans:
+        raise ValueError("spans is empty")
+    uniq = list(dict.fromkeys(spans))
+    start = min(s[0][0] for s in uniq)
+    stop = max(s[0][1] for s in uniq)
+    return [(start, stop, desc, -1)] + [
+        (s, e, d, p + 1 if p >= 0 else 0)
+        for s, e, d, p in nest_spans(uniq)]
+
+
+def strip_to_children(span: Span, child_spans: Sequence[Span]) -> Span:
+    """Shrink to the extent of the children (``Ito.strip_to_children``,
+    ``ito.py:803-815``); unchanged when childless."""
+    if not child_spans:
+        return span
+    return (child_spans[0][0], child_spans[-1][1])
+
+
+def invert_children(span: Span, child_spans: Sequence[Span]) -> list[Span]:
+    """Gap spans between the (ordered) children — the children of
+    ``Ito.invert_children``'s clone (``ito.py:817-841``)."""
+    return gaps(span, child_spans)
+
+
+def to_line_col(text: str, pos: int, eol) -> tuple[int, int]:
+    """1-based (line, col) of an absolute position (``Ito.to_line_col``,
+    ``ito.py:1376-1403``) — lineage/diagnostics columns.  ``eol`` is a
+    literal string or a compiled pattern."""
+    if hasattr(eol, "finditer"):  # compiled pattern
+        line = 1
+        m = None
+        for m in eol.finditer(text, endpos=pos):
+            line += 1
+        col = 1 + (pos if m is None else pos - m.span()[1])
+        return line, col
+    prior = text.rfind(eol, 0, pos)
+    if prior == -1:
+        return 1, pos + 1
+    return text.count(eol, 0, prior) + 2, pos - (prior + len(eol)) + 1
+
+
 def strip_span(text: str, span: Span, chars: str | None = None) -> Span:
     """Whitespace/charset strip as pure offset arithmetic (no string copy).
 

