@@ -183,6 +183,11 @@ def _q_events_user_stats(sf_dir: str):
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_events_sessions(sf_dir: str):
+    from pawpaw_ray.stages.events import sessionize
+    return sessionize(_events(sf_dir, ["user_id", "ts", "event_id"]))
+
+
 def _q_number_count(sf_dir: str):
     """Numbers per document via the ported Number pattern (nlp.py:121-161)."""
     import pyarrow as pa
@@ -377,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": _q_top_sources,
         "events_window": _q_events_window,
         "events_user_stats": _q_events_user_stats,
+        "events_sessions": _q_events_sessions,
         "number_count": _q_number_count,
         "ann_topk": _q_ann_topk,
         "plumule_select": _q_plumule_select,
@@ -452,6 +458,17 @@ def oracle_sql() -> dict[str, str]:
         "number_count":
             f"SELECT doc_id, len(regexp_extract_all(text, '{_NUMBER_SQL_PATTERN}')) "
             "AS n_numbers FROM documents",
+        "events_sessions":
+            "WITH o AS (SELECT user_id, ts, "
+            "  CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 "
+            "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS marker "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, "
+            "  CAST(sum(marker) OVER (PARTITION BY user_id ORDER BY ts "
+            "       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM o) "
+            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "  min(ts) AS start_ts, max(ts) AS end_ts "
+            "FROM s GROUP BY user_id, session_idx",
         "q1_pricing":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -60,8 +60,10 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     else:
         names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
-                 "ann_topk", "simhash", "minhash_dedup", "segment_stats",
-                 "plumule_select")
+                 "events_sessions", "ann_topk", "ann_topk_lsh", "simhash",
+                 "minhash_dedup", "segment_stats", "plumule_select",
+                 "q1_pricing", "top_customers", "region_revenue",
+                 "table_extract", "media_features", "xml_extract")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

@@ -65,6 +65,46 @@ def user_ordered_stats_bucket(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def sessionize_bucket(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+    """Gap-based sessionization of one user-hash bucket: a new session
+    starts when the inter-event gap exceeds ``gap_s``.  Vectorized: session
+    ids are a cumulative sum over gap markers within each user."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts = g["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    new_user = np.empty(len(g), dtype=bool)
+    new_user[0:1] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    gap = np.empty(len(g), dtype=bool)
+    gap[0:1] = True
+    gap[1:] = (ts[1:] - ts[:-1]) > gap_s
+    marker = (new_user | gap).astype(np.int64)
+    sess_global = np.cumsum(marker) - 1
+    # per-user session index (0-based)
+    first_sess_of_user = pd.Series(sess_global).groupby(uid).transform("min").to_numpy()
+    g["session_idx"] = (sess_global - first_sess_of_user).astype(np.int64)
+    out = (g.groupby(["user_id", "session_idx"], sort=False)
+           .agg(n_events=("event_id", "size"),
+                start_ts=("ts", "min"), end_ts=("ts", "max"))
+           .reset_index())
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
+
+
+def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 32):
+    """(user_id, session_idx, n_events, start_ts, end_ts) — the windowed
+    sessionization a training-data pipeline uses to segment event streams;
+    one bucketed shuffle, per-bucket vectorized scan."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b.append_column("sbucket", pa.array(buck, pa.int32()))
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("sbucket")
+            .map_groups(lambda g: sessionize_bucket(g, gap_s),
+                        batch_format="pandas"))
+
+
 def user_ordered_stats(events_ds, n_buckets: int = 32):
     def add_bucket(b: pa.Table) -> pa.Table:
         buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)

@@ -75,3 +75,30 @@ def test_dedup_bucket_first_occurrence_and_counts():
     assert (a["conv_id"], a["turn_idx"]) == ("c1", 1)  # earliest provenance
     assert a["n_dups"] == 3
     assert out[out["subj_key"] == "b"].iloc[0]["n_dups"] == 1
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Gap-based sessionization: session breaks only at gaps > gap_s."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: two sessions (gap of 2h), user 2: one session
+    for m in [0, 5, 10, 130, 135]:
+        rows.append({"user_id": 1, "event_id": len(rows),
+                     "ts": base + pd.Timedelta(minutes=m)})
+    for m in [0, 20, 40]:
+        rows.append({"user_id": 2, "event_id": len(rows),
+                     "ts": base + pd.Timedelta(minutes=m)})
+    out = (sessionize(rd.from_pandas(pd.DataFrame(rows)), gap_s=1800)
+           .to_pandas().sort_values(["user_id", "session_idx"])
+           .reset_index(drop=True))
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["session_idx"]) == [0, 1]
+    assert list(u1["n_events"]) == [3, 2]
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["n_events"]) == [3]
