@@ -114,18 +114,7 @@ class TripleLinker:
         self.index = AliasIndex(_resolve_ref(catalog_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = batch
-        for side in ("subj", "obj"):
-            ids, paths, cans = [], [], []
-            for s in batch[side].to_pylist():
-                eid, path, can, _ = self.index.lookup(s)
-                ids.append(eid)
-                paths.append(path)
-                cans.append(can)
-            t = (t.append_column(f"{side}_id", pa.array(ids, pa.string()))
-                  .append_column(f"{side}_path", pa.array(paths, pa.string()))
-                  .append_column(f"{side}_canonical", pa.array(cans, pa.string())))
-        return t
+        return link_columns(batch, self.index)
 
 
 def _resolve_ref(ref):
@@ -155,23 +144,33 @@ def _cached_index(catalog_ref) -> AliasIndex:
     return idx
 
 
+def link_columns(batch: pa.Table, index: AliasIndex) -> pa.Table:
+    """Link subj/obj columns via per-UNIQUE-surface lookup: surfaces repeat
+    heavily (thousands of mentions per entity), so dictionary-encode each
+    column, resolve each distinct surface once, and gather by code."""
+    t = batch
+    for side in ("subj", "obj"):
+        col = batch[side]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        hits = [index.lookup(s) for s in uniq]
+        idx = enc.indices
+        t = (t.append_column(f"{side}_id", pa.array(
+                [h[0] for h in hits], pa.string()).take(idx))
+              .append_column(f"{side}_path", pa.array(
+                [h[1] for h in hits], pa.string()).take(idx))
+              .append_column(f"{side}_canonical", pa.array(
+                [h[2] for h in hits], pa.string()).take(idx)))
+    return t
+
+
 def make_triple_linker_fn(catalog_ref):
     """Stateless map_batches fn version of :class:`TripleLinker` (broadcast
     ref + process-cached index)."""
 
     def link_triples(batch: pa.Table) -> pa.Table:
-        index = _cached_index(catalog_ref)
-        t = batch
-        for side in ("subj", "obj"):
-            ids, paths, cans = [], [], []
-            for s in batch[side].to_pylist():
-                eid, path, can, _ = index.lookup(s)
-                ids.append(eid)
-                paths.append(path)
-                cans.append(can)
-            t = (t.append_column(f"{side}_id", pa.array(ids, pa.string()))
-                  .append_column(f"{side}_path", pa.array(paths, pa.string()))
-                  .append_column(f"{side}_canonical", pa.array(cans, pa.string())))
-        return t
+        return link_columns(batch, _cached_index(catalog_ref))
 
     return link_triples
