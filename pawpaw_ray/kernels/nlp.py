@@ -182,6 +182,41 @@ WORD_RE = rx.compile(
 
 
 # ---------------------------------------------------------------------------
+# KeyedPrefix (nlp.py:226-247): list/legal numbering prefixes — "1." "2)"
+# "3.1.4" "5-2-1." followed by whitespace; the <key> group is the number.
+# ---------------------------------------------------------------------------
+
+_KP_COMPOUND = r"(?P<key>\d+(?:[\.\-]\d+)+)\.?"
+_KP_INT = r"(?P<key>\d+)[\)\]\.\-:]"
+KEYED_PREFIX_RE = rx.compile(
+    r"(?:" + _KP_COMPOUND + r"|" + _KP_INT + r")[ \t]+", rx.DOTALL)
+
+
+def keyed_prefix(text: str, span) -> tuple:
+    """(key_span, rest_span) when the line starts with a list/legal prefix,
+    else (None, span)."""
+    m = KEYED_PREFIX_RE.match(text, pos=span[0], endpos=span[1])
+    if m is None:
+        return None, span
+    return m.span("key"), (m.end(), span[1])
+
+
+# ---------------------------------------------------------------------------
+# Nuco — ordered fallback (reference arborform Nuco, nuco.py:7-23): the
+# first extractor yielding >= 1 result wins, per row.
+# ---------------------------------------------------------------------------
+
+def nuco(text: str, span, *extractors):
+    """Apply ``extractors`` (callables ``(text, span) -> list``) in order;
+    return the first non-empty result (empty list if all come up empty)."""
+    for ex in extractors:
+        out = ex(text, span)
+        if out:
+            return out
+    return []
+
+
+# ---------------------------------------------------------------------------
 # Flagship kernel: one turn's text → flat preorder span tree.
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,46 @@ def test_segment_counts_stable():
     assert names.count("paragraph") == 2
     assert names.count("sentence") == 3
     assert names.count("number") == 1
+
+
+def test_keyed_prefix_matches_reference_pattern(pawpaw_ref):
+    """Our KeyedPrefix regex selects the same key spans as the reference's
+    pattern on numbered/legal lines."""
+    import regex as rx
+
+    from pawpaw_ray.kernels.nlp import KEYED_PREFIX_RE, keyed_prefix
+
+    ref_pat = rx.compile(pawpaw_ref.nlp.KeyedPrefix._key_prefix_pat, rx.DOTALL)
+    lines = ["1. first item", "2) second", "3] third", "4: fourth",
+             "3.1.4 deep clause", "5-2-1. compound", "no prefix here",
+             "12.  spaced", "7.x not a list"]
+    for line in lines:
+        ours = KEYED_PREFIX_RE.match(line)
+        theirs = ref_pat.match(line)
+        assert (ours is None) == (theirs is None), line
+        if ours:
+            assert ours.span("key") == theirs.span("key"), line
+
+    key, rest = keyed_prefix("2) second", (0, 9))
+    assert key == (0, 1) and rest == (3, 9)
+    key, rest = keyed_prefix("plain", (0, 5))
+    assert key is None and rest == (0, 5)
+
+
+def test_nuco_ordered_fallback():
+    from pawpaw_ray.kernels.nlp import NUMBER_RE, WORD_RE, nuco
+    from pawpaw_ray.kernels.spans import extract
+
+    def numbers(t, s):
+        return extract(t, s, NUMBER_RE, ["number"])
+
+    def words(t, s):
+        return extract(t, s, WORD_RE, ["word"])
+
+    # numbers present: first extractor wins
+    out = nuco("a 42 b", (0, 6), numbers, words)
+    assert [n[2] for n in out] == ["number"]
+    # no numbers: falls through to words
+    out = nuco("a b", (0, 3), numbers, words)
+    assert [n[2] for n in out] == ["word", "word"]
+    assert nuco("", (0, 0), numbers, words) == []
