@@ -98,3 +98,30 @@ def test_linked_triples_streaming_schema(tiny_transcripts):
     assert {"subj_id", "obj_id", "subj_canonical"} <= set(batch.column_names)
     linked_ratio = pc.sum(pc.is_valid(batch["obj_id"])).as_py() / max(1, len(batch))
     assert linked_ratio > 0.3
+
+
+def test_pipeline_robust_to_degenerate_text(tiny_transcripts):
+    """Null, empty, whitespace-only, unicode, and 50kB single-line turns
+    flow through the full pipeline without error; coref counts turn
+    DISTANCE across degenerate turns."""
+    import pandas as pd
+    import ray.data as rd
+
+    cat = pq.read_table(tiny_transcripts + "/alias_catalog.parquet")
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0,
+         "text": "Alice Brandt founded Acme. 日本語のテキスト。emoji 🎉 here."},
+        {"conv_id": "c1", "turn_idx": 1, "text": None},
+        {"conv_id": "c1", "turn_idx": 2, "text": ""},
+        {"conv_id": "c1", "turn_idx": 3, "text": "He acquired Dunmore Heights."},
+        {"conv_id": "c2", "turn_idx": 0, "text": "   \n\n\t  "},
+        {"conv_id": "c2", "turn_idx": 1, "text": "x" * 50_000 + ". The End met Acme."},
+    ]
+    out = build_kg(rd.from_pandas(pd.DataFrame(rows)), cat)
+    t = out["triples"].to_pandas()
+    assert len(t) == 3
+    he = t[t["subj"] == "He"].iloc[0]
+    assert he["via_coref"] and he["subj_canonical"] == "Alice Brandt"
+    # reference sentence rules are English-centric: no boundary before a
+    # Japanese char — the object legitimately spans to end of paragraph
+    assert t[t["pred"] == "founded"].iloc[0]["obj"].startswith("Acme.")
