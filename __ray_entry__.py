@@ -183,6 +183,44 @@ def _q_events_user_stats(sf_dir: str):
         _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_numbers_extract(sf_dir: str):
+    """Typed number extraction over transcripts: every Number-pattern match
+    with its eager float64 value — the engine's replacement for the
+    reference's lazy ``value_func`` (SURVEY.md §1.1: typed columns computed
+    at extraction time)."""
+    import pyarrow as pa
+
+    from pawpaw_ray.kernels.nlp import NUMBER_RE, number_value
+    from pawpaw_ray.sources.transcripts import read_transcripts
+
+    def extract_numbers(b: pa.Table) -> pa.Table:
+        conv, tidx, starts, stops, vals, raws = [], [], [], [], [], []
+        cv = b["conv_id"].to_pylist()
+        ti = b["turn_idx"].to_pylist()
+        for i, t in enumerate(b["text"].to_pylist()):
+            for m in NUMBER_RE.finditer(t or ""):
+                conv.append(cv[i])
+                tidx.append(ti[i])
+                starts.append(m.start())
+                stops.append(m.end())
+                raws.append(m.group("number"))
+                vals.append(number_value(m.group("number")))
+        return pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(tidx, pa.int32()),
+            "start": pa.array(starts, pa.int32()),
+            "stop": pa.array(stops, pa.int32()),
+            "raw": pa.array(raws, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    d = _transcripts_dir(sf_dir)
+    out = (read_transcripts(d)
+           .map_batches(extract_numbers, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values(["conv_id", "turn_idx", "start"]).reset_index(drop=True)
+
+
 def _q_events_sessions(sf_dir: str):
     from pawpaw_ray.stages.events import sessionize
     return sessionize(_events(sf_dir, ["user_id", "ts", "event_id"]))
@@ -384,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": _q_events_user_stats,
         "events_sessions": _q_events_sessions,
         "number_count": _q_number_count,
+        "numbers_extract": _q_numbers_extract,
         "ann_topk": _q_ann_topk,
         "plumule_select": _q_plumule_select,
         # relational layer (SQL-checked): map-side combine, broadcast join,

@@ -164,3 +164,36 @@ def test_nuco_ordered_fallback():
     out = nuco("a b", (0, 3), numbers, words)
     assert [n[2] for n in out] == ["word", "word"]
     assert nuco("", (0, 0), numbers, words) == []
+
+
+def test_number_value_matches_reference(pawpaw_ref):
+    """Eager float64 values equal the reference Number's parsed semantics
+    on its documented forms (nlp.py:121-223): plain/thousands/decimal/
+    scientific/x10^ notation."""
+    from pawpaw_ray.kernels.nlp import NUMBER_RE, number_value
+
+    cases = {
+        "42": 42.0,
+        "-17": -17.0,
+        "+3": 3.0,
+        "1,234": 1234.0,
+        "1,234.56": 1234.56,
+        "3.14159": 3.14159,
+        ".5": 0.5,
+        "6.02e23": 6.02e23,
+        "1.5E-3": 1.5e-3,
+        "6.02214076x10^23": 6.02214076e23,
+        "2 X 10^ 6": 2e6,
+        "-1.5e3": -1500.0,
+    }
+    for raw, expect in cases.items():
+        m = NUMBER_RE.fullmatch(raw)
+        assert m is not None, raw
+        assert number_value(m.group("number")) == pytest.approx(expect), raw
+
+    # differential vs the reference pattern: same match spans on mixed text
+    ref_num = pawpaw_ref.nlp.Number()
+    text = "pay 1,234.56 or 6.022x10^23 units, -17 deg at .5 rate e.g. 2E3"
+    ours = [m.span() for m in NUMBER_RE.finditer(text)]
+    theirs = [m.span() for m in ref_num.re.finditer(text)]
+    assert ours == theirs
