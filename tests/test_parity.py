@@ -13,7 +13,7 @@ from tests.parity_util import reference_triples_for_text, score_pr
 @pytest.fixture(scope="module")
 def turn_rows():
     ents = build_catalog()
-    return [gen_turn(42, c, t, 12, ents) for c in range(25) for t in range(12)]
+    return [gen_turn(42, c, t, 12, ents) for c in range(100) for t in range(12)]
 
 
 def test_triple_parity_vs_reference(pawpaw_ref, turn_rows):
