@@ -1,15 +1,19 @@
 """The flagship KG-construction pipeline, composed Ray-Data-first.
 
-    read_parquet(transcripts)                       # pruned columns
-      → map_batches(segment_batch)                  # spans tree column
+    read_parquet(transcripts)                        # pruned columns
+      → map_batches(segment_sentences_batch)        # sentence spans (Arrow)
       → map_batches(triples_batch)                  # SVO candidate rows
-      → map_batches(TripleLinker, concurrency=k)    # actor pool, alias dict
-      → resolve_coref(...)                          # salted conv shuffle
-      → map_batches(canonical_keys_batch)           # deterministic ids
+      → map_batches(link_triples)                   # broadcast alias index
+      → resolve_coref(salt_chunks=True,             # salted conv shuffle;
+                      add_keys=True)                #  canonical keys fused in
       → dedup_triples(...) + build_entity_table(...)  # the two wide shuffles
+                                                       # (consume concurrently)
 
-Everything upstream of the coref shuffle is streaming (no materialization);
-the compact triple rows — not the raw text — are what the shuffles move.
+The extraction chain streams into the coref shuffle's internal
+materialization (the salted path pins the compact triple rows once — the
+raw text never crosses a shuffle); dedup and the entity aggregation both
+read that one materialized table, so callers should consume the two
+returned Datasets concurrently (see bench.py) to overlap their shuffles.
 """
 
 from __future__ import annotations
