@@ -35,7 +35,9 @@ import regex as rx
 _NORM_EDGE = rx.compile(r"^[\W_]+|[\W_]+$")
 _NORM_WS = rx.compile(r"\s+")
 
-DEFAULT_BUCKETS = 64
+def _default_buckets() -> int:
+    from pawpaw_ray.tuning import shuffle_buckets
+    return shuffle_buckets()
 
 
 def normalize_surface(s: str) -> str:
@@ -85,9 +87,10 @@ def canonical_keys_batch(batch: pa.Table) -> pa.Table:
 # entity table (map-side combine → bucketed final reduce)
 # ---------------------------------------------------------------------------
 
-def entity_partials_batch(batch: pa.Table, n_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
+def entity_partials_batch(batch: pa.Table, n_buckets: int | None = None) -> pa.Table:
     """Per-batch partial aggregation of triple endpoints:
     (entity_key, entity_path, canonical, surface) → count."""
+    n_buckets = n_buckets or _default_buckets()
     frames = []
     for side in ("subj", "obj"):
         frames.append(pd.DataFrame({
@@ -131,7 +134,8 @@ def entity_finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def build_entity_table(triples_keyed_ds, n_buckets: int = DEFAULT_BUCKETS):
+def build_entity_table(triples_keyed_ds, n_buckets: int | None = None):
+    n_buckets = n_buckets or _default_buckets()
     partials = triples_keyed_ds.map_batches(
         lambda b: entity_partials_batch(b, n_buckets), batch_format="pyarrow")
     return (partials.groupby("ebucket")
@@ -142,7 +146,8 @@ def build_entity_table(triples_keyed_ds, n_buckets: int = DEFAULT_BUCKETS):
 # exact triple dedup (bucketed)
 # ---------------------------------------------------------------------------
 
-def add_triple_bucket(batch: pa.Table, n_buckets: int = DEFAULT_BUCKETS) -> pa.Table:
+def add_triple_bucket(batch: pa.Table, n_buckets: int | None = None) -> pa.Table:
+    n_buckets = n_buckets or _default_buckets()
     keep = batch.filter(pc.is_valid(batch["subj_key"]))
     key = [f"{s}\x00{p}\x00{o}" for s, p, o in zip(
         keep["subj_key"].to_pylist(), keep["pred"].to_pylist(),
@@ -160,7 +165,7 @@ def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return first
 
 
-def dedup_triples(triples_keyed_ds, n_buckets: int = DEFAULT_BUCKETS):
+def dedup_triples(triples_keyed_ds, n_buckets: int | None = None):
     """Canonical triples: unresolved-pronoun rows (null subj_key) are
     excluded from the canonical graph; the rest dedup exactly on
     (subj_key, pred, obj_key)."""

@@ -1,0 +1,184 @@
+"""Distributed connected components (min-label) over a candidate-pair list.
+
+Replaces the round-1 driver-side union-find: clustering for the near-dup
+operators now runs as alternating **large-star / small-star** rounds
+(Kiveris et al., "Connected Components in MapReduce and Beyond", 2014)
+expressed as bucketed Ray Data groupbys over the edge list.  Each round
+shuffles only ``(u, v)`` int64 rows — the pair list never lands on the
+driver, so it can exceed driver memory at 100 TB scale.  Components
+converge to stars centered at the component's minimum node in O(log n)
+rounds; per-node labels fall out of the final star edges with one more
+aggregate.
+
+Semantics match min-label union-find exactly: every node's ``cluster_id``
+is the smallest node id in its connected component (differentially tested
+against a driver union-find in tests/test_cc.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pawpaw_ray.tuning import shuffle_buckets
+
+_EMPTY_EDGES = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64)})
+
+
+def _bucket_col(vals: np.ndarray, n_buckets: int) -> pa.Array:
+    # cheap integer hash → bucket; crc32 of the 8 little-endian bytes keeps
+    # sequential ids from all landing in one reduce partition
+    b = np.fromiter(
+        (zlib.crc32(int(v).to_bytes(8, "little", signed=True)) % n_buckets
+         for v in vals), dtype=np.int32, count=len(vals))
+    return pa.array(b, pa.int32())
+
+
+def _large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    m = min(N(u) ∪ {u}).  Input rows are symmetric (u, v) edges."""
+    if not len(g):
+        return _EMPTY_EDGES
+    mn = g.groupby("u", sort=False)["v"].min()
+    m = pd.Series(np.minimum(mn.to_numpy(np.int64),
+                             mn.index.to_numpy(np.int64)), index=mn.index)
+    gm = g["u"].map(m)
+    keep = (g["v"] > g["u"]).to_numpy()
+    out = pd.DataFrame({"u": g["v"].to_numpy(np.int64)[keep],
+                        "v": gm.to_numpy(np.int64)[keep]})
+    out = out[out["u"] != out["v"]]
+    return out.drop_duplicates()
+
+
+def _small_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Edges arrive oriented larger→smaller (u > v).  For each u:
+    m = min(N(u)); connect every neighbor and u itself to m."""
+    if not len(g):
+        return _EMPTY_EDGES
+    m = g.groupby("u", sort=False)["v"].min()
+    gm = g["u"].map(m).to_numpy(np.int64)
+    out = pd.concat([
+        pd.DataFrame({"u": g["v"].to_numpy(np.int64), "v": gm}),
+        pd.DataFrame({"u": m.index.to_numpy(np.int64),
+                      "v": m.to_numpy(np.int64)}),
+    ], ignore_index=True)
+    out = out[out["u"] != out["v"]]
+    return out.drop_duplicates()
+
+
+def _symmetrize(b: pa.Table, n_buckets: int) -> pa.Table:
+    u = b["u"].to_numpy().astype(np.int64)
+    v = b["v"].to_numpy().astype(np.int64)
+    uu = np.concatenate([u, v])
+    vv = np.concatenate([v, u])
+    keep = uu != vv
+    uu, vv = uu[keep], vv[keep]
+    return pa.table({"u": pa.array(uu, pa.int64()),
+                     "v": pa.array(vv, pa.int64()),
+                     "bucket": _bucket_col(uu, n_buckets)})
+
+
+def _orient_down(b: pa.Table, n_buckets: int) -> pa.Table:
+    """Canonical larger→smaller orientation for the small-star round."""
+    u = b["u"].to_numpy().astype(np.int64)
+    v = b["v"].to_numpy().astype(np.int64)
+    hi = np.maximum(u, v)
+    lo = np.minimum(u, v)
+    keep = hi != lo
+    hi, lo = hi[keep], lo[keep]
+    return pa.table({"u": pa.array(hi, pa.int64()),
+                     "v": pa.array(lo, pa.int64()),
+                     "bucket": _bucket_col(hi, n_buckets)})
+
+
+def _signature(edges_ds) -> tuple[int, int]:
+    """(count, order-insensitive hash) of the canonical edge set — the
+    convergence check, computed distributed (one tiny aggregate)."""
+    from ray.data.aggregate import Sum
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy().astype(np.uint64)
+        v = b["v"].to_numpy().astype(np.uint64)
+        hi, lo = np.maximum(u, v), np.minimum(u, v)
+        h = (hi * np.uint64(0x9E3779B97F4A7C15)
+             ^ (lo + np.uint64(0xD1B54A32D192ED03)))
+        # fold to int64 to keep the Sum aggregate in native arrow types
+        return pa.table({
+            "h": pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64()),
+            "one": pa.array(np.ones(len(h), dtype=np.int64), pa.int64())})
+
+    agg = edges_ds.map_batches(hash_batch, batch_format="pyarrow").sum(["one", "h"])
+    if agg is None:  # empty dataset
+        return (0, 0)
+    return (int(agg["sum(one)"]), int(agg["sum(h)"]))
+
+
+def cc_labels(pairs_ds, ids_ds, id_col: str = "doc_id",
+              label_col: str = "cluster_id", n_buckets: int | None = None,
+              max_rounds: int = 32):
+    """Min-label connected components.
+
+    ``pairs_ds``: Dataset with int64 columns ``a``, ``b`` (undirected edges,
+    duplicates fine).  ``ids_ds``: Dataset holding ``id_col`` for EVERY node
+    (isolated nodes become their own singleton cluster).  Returns a Dataset
+    ``(id_col, label_col)`` where the label is the component's min node id.
+    """
+    import ray.data  # noqa: F401  (Dataset ops)
+    from ray.data.aggregate import Min
+
+    n_buckets = n_buckets or shuffle_buckets()
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["a"].cast(pa.int64()),
+                         "v": b["b"].cast(pa.int64())})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    prev = None
+    if edges.count() > 0:
+        for _ in range(max_rounds):
+            large = (edges
+                     .map_batches(lambda b: _symmetrize(b, n_buckets),
+                                  batch_format="pyarrow")
+                     .groupby("bucket")
+                     .map_groups(_large_star_bucket, batch_format="pandas"))
+            edges = (large
+                     .map_batches(lambda b: _orient_down(b, n_buckets),
+                                  batch_format="pyarrow")
+                     .groupby("bucket")
+                     .map_groups(_small_star_bucket, batch_format="pandas")
+                     .materialize())
+            sig = _signature(edges)
+            if sig == prev or sig[0] == 0:
+                break
+            prev = sig
+
+    # star edges (u → root) become labels; every id contributes its own id so
+    # roots and isolated nodes label themselves; min() resolves the rest
+    def edge_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["u"].cast(pa.int64()),
+                         "label": b["v"].cast(pa.int64())})
+
+    def self_labels(b: pa.Table) -> pa.Table:
+        ids = b[id_col].cast(pa.int64())
+        return pa.table({"node": ids, "label": ids})
+
+    labels = (edges.map_batches(edge_labels, batch_format="pyarrow")
+              .union(ids_ds.map_batches(self_labels, batch_format="pyarrow"))
+              .groupby("node").aggregate(Min("label", alias_name=label_col)))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["node"], label_col: b[label_col]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def cc_labels_pandas(pairs_ds, ids_ds, id_col: str = "doc_id",
+                     label_col: str = "cluster_id") -> pd.DataFrame:
+    """Driver-convenience wrapper: distributed components, small pandas
+    result sorted by id (the shape the driver queries return)."""
+    out = cc_labels(pairs_ds, ids_ds, id_col, label_col).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -38,7 +38,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 PERSON_PREFIX = "person"
-DEFAULT_BUCKETS = 64
+
+
+def _default_buckets() -> int:
+    from pawpaw_ray.tuning import shuffle_buckets
+    return shuffle_buckets()
 
 
 def _bucket_of(conv: str, chunk: int, n_buckets: int) -> int:
@@ -153,7 +157,7 @@ def resolve_conv_bucket(g: pd.DataFrame, window_turns: int) -> pd.DataFrame:
 
 
 def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
-                  n_buckets: int = DEFAULT_BUCKETS, salt_chunks: bool = False,
+                  n_buckets: int | None = None, salt_chunks: bool = False,
                   add_keys: bool = False):
     """Conversation-ordered coreference in ONE groupby shuffle.
 
@@ -167,6 +171,7 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
     the bounded-group path the north rule requires at 10^12-turn scale.
     Both variants produce identical output (tests/test_coref.py).
     """
+    n_buckets = n_buckets or _default_buckets()
     if not salt_chunks:
         def add_bucket(b: pa.Table) -> pa.Table:
             conv = b["conv_id"].to_pylist()
@@ -195,6 +200,8 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
 
     assert chunk_turns > window_turns
     import ray
+
+    from pawpaw_ray.state.broadcast import cached_get
 
     def add_salt_cols(b: pa.Table) -> pa.Table:
         turn = b["turn_idx"].to_numpy()
@@ -240,10 +247,10 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
 
         def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
             return canonical_keys_pdf(
-                resolve_bucket(g, window_turns, ray.get(carry_ref)))
+                resolve_bucket(g, window_turns, cached_get(carry_ref)))
     else:
         def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
-            return resolve_bucket(g, window_turns, ray.get(carry_ref))
+            return resolve_bucket(g, window_turns, cached_get(carry_ref))
 
     resolved = salted.groupby("cbucket").map_groups(
         resolve_with_carry, batch_format="pandas")

@@ -28,47 +28,56 @@ def _norm_tokens(text: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 def exact_key_batch(batch: pa.Table, text_col: str = "text",
-                    n_buckets: int = 64) -> pa.Table:
-    """sha1(text) + hash bucket — the shuffle then moves (key, id) rows."""
+                    id_col: str = "doc_id") -> pa.Table:
+    """sha1(text) + id ONLY — the text column is dropped before the shuffle
+    so the groupby moves ~1% of the corpus bytes, not the corpus."""
     keys = [hashlib.sha1((t or "").encode()).hexdigest()
             for t in batch[text_col].to_pylist()]
-    bucket = np.fromiter((zlib.crc32(k.encode()) % n_buckets for k in keys),
-                         dtype=np.int32, count=len(keys))
-    return (batch.append_column("text_sha1", pa.array(keys, pa.string()))
-                 .append_column("dbucket", pa.array(bucket, pa.int32())))
+    return pa.table({"text_sha1": pa.array(keys, pa.string()),
+                     id_col: batch[id_col]})
 
 
-def exact_dedup_bucket(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
-    """First (min id) per identical text + copy count."""
-    g = g.sort_values([("text_sha1"), id_col], kind="mergesort")
-    grp = g.groupby("text_sha1", sort=False)
-    first = g.drop_duplicates("text_sha1").copy()
-    first["n_copies"] = grp.size().to_numpy(np.int64)
-    return first
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """First (min id) per identical text + copy count.
 
+    Shuffle discipline: the keyed batch carries only (text_sha1, id) and the
+    wide step is a plain ``groupby(text_sha1).aggregate`` — Ray's sort-based
+    aggregate handles the high-cardinality key without per-group tasks, and
+    no document text ever crosses the exchange."""
+    from ray.data.aggregate import Count, Min
 
-def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
-                n_buckets: int = 64):
     keyed = docs_ds.map_batches(
-        lambda b: exact_key_batch(b, text_col, n_buckets), batch_format="pyarrow")
-    return (keyed.groupby("dbucket")
-            .map_groups(lambda g: exact_dedup_bucket(g, id_col),
-                        batch_format="pandas")
-            .drop_columns(["dbucket"]))
+        lambda b: exact_key_batch(b, text_col, id_col), batch_format="pyarrow")
+    return (keyed.groupby("text_sha1")
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_copies")))
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_perm: int, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    return a, b
+    """Per-permutation 64-bit xor-seeds for the splitmix64 finalizer.
+
+    Round 1 used (a*x + b) mod (2^61 - 1) computed in uint64, which wrapped
+    mod 2^64 before the Mersenne reduction (not the intended family); the
+    obvious fix — coefficients small enough not to wrap — leaves the map
+    piecewise-monotone in x (at most 4 wraps for 32-bit shingle hashes), so
+    the per-permutation match rate measured ~0.12 at true Jaccard 0.29.  A
+    strong 64-bit bit-mixer applied to x ^ seed_i has no such structure and
+    its match rate tracks Jaccard to sampling noise (tests/test_cc.py).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return (rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64),)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — wrapping uint64 arithmetic is the mixing."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def shingles(text: str, k: int = 3) -> np.ndarray:
@@ -82,14 +91,13 @@ def shingles(text: str, k: int = 3) -> np.ndarray:
         (zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
 
 
-def minhash_signature(text: str, a: np.ndarray, b: np.ndarray,
-                      k: int = 3) -> np.ndarray:
+def minhash_signature(text: str, seeds: np.ndarray, k: int = 3) -> np.ndarray:
     sh = shingles(text, k)
     if len(sh) == 0:
-        return np.zeros(len(a), dtype=np.uint64)
-    # (a*x + b) mod p, min over shingles — vectorized outer product
-    vals = (np.multiply.outer(sh.astype(np.uint64), a) + b) % _MERSENNE
-    return vals.min(axis=0).astype(np.uint64)
+        return np.zeros(len(seeds), dtype=np.uint64)
+    # mix(x ^ seed_i), min over shingles — one vectorized (n_shingles, perm)
+    vals = _splitmix64(sh[:, None] ^ seeds[None, :])
+    return vals.min(axis=0)
 
 
 class MinHashLSH:
@@ -102,7 +110,7 @@ class MinHashLSH:
     def __init__(self, num_perm: int = 64, bands: int = 8, k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
         assert num_perm % bands == 0
-        self.a, self.b = _minhash_params(num_perm)
+        (self.seeds,) = _minhash_params(num_perm)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.k = k
@@ -114,7 +122,7 @@ class MinHashLSH:
         texts = batch[self.text_col].to_pylist()
         out_band, out_hash, out_id = [], [], []
         for i, text in enumerate(texts):
-            sig = minhash_signature(text, self.a, self.b, self.k)
+            sig = minhash_signature(text, self.seeds, self.k)
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
                 h = hashlib.sha1(chunk.tobytes() + bytes([band])).hexdigest()[:16]
@@ -128,14 +136,51 @@ class MinHashLSH:
         })
 
 
-def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs from one LSH bucket (min-id paired with the rest —
-    sufficient for min-label clustering)."""
+def _pairs_from_bucket(g: pd.DataFrame, all_pairs: bool = False,
+                       max_all_pairs: int = 512) -> pd.DataFrame:
+    """Candidate pairs from one LSH bucket.
+
+    Default emits star pairs (min-id × rest) — sufficient for min-label
+    clustering of the *unverified* bucket graph.  ``all_pairs=True`` emits
+    every in-bucket pair: required when pairs are then individually
+    VERIFIED (a failed star edge must not disconnect a genuine pair among
+    the remaining members).  Buckets larger than ``max_all_pairs`` fall back
+    to star pairs with the bucket's exact-duplicate structure intact
+    (giant LSH buckets are near-identical text in practice; the quadratic
+    blowup is the greater evil at scale — logged via the returned shape).
+    """
     ids = np.sort(g["doc_id"].unique())
     if len(ids) < 2:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64)})
+    if all_pairs and len(ids) <= max_all_pairs:
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
     return pd.DataFrame({"a": np.repeat(ids[0], len(ids) - 1), "b": ids[1:]})
+
+
+def _dedup_pairs(pairs_ds):
+    """Distinct (a, b) rows without a driver pull: bands emit the same pair
+    up to ``bands`` times; one small aggregate collapses them before the
+    (far costlier) verification / clustering stages."""
+    from ray.data.aggregate import Count
+
+    deduped = pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+    return deduped.drop_columns(["_n"])
+
+
+def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
+               text_col: str, concurrency, all_pairs: bool = False):
+    """documents → distinct LSH candidate-pair Dataset (a, b)."""
+    bands_ds = docs_ds.map_batches(
+        MinHashLSH, fn_constructor_kwargs={
+            "num_perm": num_perm, "bands": bands, "k": k,
+            "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    pairs = (bands_ds.groupby(["band", "band_hash"])
+             .map_groups(lambda g: _pairs_from_bucket(g, all_pairs),
+                         batch_format="pandas"))
+    return _dedup_pairs(pairs)
 
 
 def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
@@ -145,39 +190,15 @@ def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
 
     Returns a pandas DataFrame ``(doc_id, cluster_id)`` where cluster_id is
     the min doc_id of the connected component.  The signature scan is the
-    heavy distributed stage; candidate pairs are a tiny fraction and the
-    final union-find runs driver-side (documented small-side assumption —
-    at extreme scale replace with iterative min-label propagation rounds).
+    heavy distributed stage; the component labelling runs distributed too
+    (star-contraction rounds over the pair list, :mod:`pawpaw_ray.stages.cc`)
+    — no pair list or id list is ever materialized on the driver.
     """
-    bands_ds = docs_ds.map_batches(
-        MinHashLSH, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k,
-            "id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = (bands_ds.groupby(["band", "band_hash"])
-             .map_groups(_pairs_from_bucket, batch_format="pandas")
-             .to_pandas())
+    from pawpaw_ray.stages.cc import cc_labels_pandas
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["a"].tolist(), pairs["b"].tolist()):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
-    all_ids = docs_ds.select_columns([id_col]).to_pandas()[id_col]
-    return pd.DataFrame({
-        "doc_id": all_ids.to_numpy(np.int64),
-        "cluster_id": np.fromiter((find(int(i)) for i in all_ids),
-                                  dtype=np.int64, count=len(all_ids)),
-    })
+    pairs = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
+                       concurrency)
+    return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -185,21 +206,26 @@ def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
+    """64-bit SimHash over token blake2b hashes, weighted by occurrence
+    count.  One blake2b per UNIQUE token, then a single vectorized
+    bit-unpack + weighted column sum (the round-1 per-token Python loop was
+    the slowest kernel in the repo per byte; output is bit-identical)."""
     toks = _norm_tokens(text)
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
+    counts: dict[str, int] = {}
     for t in toks:
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+        counts[t] = counts.get(t, 0) + 1
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big") for t in counts),
+        dtype=np.uint64, count=len(counts))
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int64)  # (n, 64)
+    acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(((acc > 0).astype(np.uint64) * weights).sum())
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -218,64 +244,37 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def _cluster_pairs(pairs_a, pairs_b, all_ids) -> pd.DataFrame:
-    """Min-label connected components from verified pairs (driver-side —
-    pairs are a tiny fraction; at extreme scale replace with iterative
-    min-label propagation rounds)."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs_a, pairs_b):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    return pd.DataFrame({
-        "doc_id": np.asarray(all_ids, dtype=np.int64),
-        "cluster_id": np.fromiter((find(int(i)) for i in all_ids),
-                                  dtype=np.int64, count=len(all_ids)),
-    })
-
-
 def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
                      bands: int = 8, k: int = 3, id_col: str = "doc_id",
                      text_col: str = "text", concurrency=(1, 8)) -> pd.DataFrame:
     """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard ≥ threshold.
 
-    The LSH pass bounds candidate pairs; verification fetches only the
-    candidate documents' texts (filtered read, broadcast once) and runs the
-    set-overlap kernel distributed over the pair list.  Output:
-    (doc_id, cluster_id) like :func:`minhash_clusters`, but without LSH
-    false positives.
+    The LSH pass bounds candidate pairs; because each pair is then verified
+    individually, buckets emit ALL in-bucket pairs (a star-only emission
+    would silently disconnect b∼c whenever the bucket's min-id doc a fails
+    verification against both).  Verification fetches only the candidate
+    documents' texts (filtered read, broadcast once, cached per worker
+    process) and runs the set-overlap kernel distributed over the pair
+    list; components are labelled distributed (:mod:`pawpaw_ray.stages.cc`).
+    Output: (doc_id, cluster_id) like :func:`minhash_clusters`, but without
+    LSH false positives.
     """
     import pyarrow.compute as pc
     import ray
-    import ray.data as rd
 
-    bands_ds = docs_ds.map_batches(
-        MinHashLSH, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k,
-            "id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = (bands_ds.groupby(["band", "band_hash"])
-             .map_groups(_pairs_from_bucket, batch_format="pandas")
-             .to_pandas())
-    if "a" not in pairs.columns:  # zero candidate pairs anywhere
-        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64)})
-    pairs = pairs.drop_duplicates(["a", "b"])
+    from pawpaw_ray.stages.cc import cc_labels_pandas
 
-    all_ids = docs_ds.select_columns([id_col]).to_pandas()[id_col]
-    if not len(pairs):
-        return _cluster_pairs([], [], all_ids)
+    pairs_ds = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
+                          concurrency, all_pairs=True).materialize()
+    ids_ds = docs_ds.select_columns([id_col])
 
+    # texts of candidate docs only: tiny filtered pull, broadcast once
+    pairs_ids = pairs_ds.to_pandas() if pairs_ds.count() else pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+    if not len(pairs_ids):
+        return cc_labels_pandas(pairs_ds, ids_ds, id_col)
     cand_ids = pa.array(np.unique(np.concatenate(
-        [pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)])))
+        [pairs_ids["a"].to_numpy(np.int64), pairs_ids["b"].to_numpy(np.int64)])))
     cand = (docs_ds.map_batches(
                 lambda b: b.filter(pc.is_in(b[id_col], value_set=cand_ids)),
                 batch_format="pyarrow")
@@ -283,17 +282,16 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
     texts_ref = ray.put(dict(zip(cand[id_col], cand[text_col])))
 
     def verify(b: pa.Table) -> pa.Table:
-        lut = ray.get(texts_ref)
+        from pawpaw_ray.state.broadcast import cached_get
+        lut = cached_get(texts_ref)
         aa = b["a"].to_pylist()
         bb = b["b"].to_pylist()
         sims = [jaccard(lut.get(x, ""), lut.get(y, ""), k) for x, y in zip(aa, bb)]
         keep = pa.array([s >= threshold for s in sims], pa.bool_())
         return b.append_column("jaccard", pa.array(sims, pa.float64())).filter(keep)
 
-    verified = (rd.from_pandas(pairs.reset_index(drop=True))
-                .map_batches(verify, batch_format="pyarrow")
-                .to_pandas())
-    return _cluster_pairs(verified["a"].tolist(), verified["b"].tolist(), all_ids)
+    verified = pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return cc_labels_pandas(verified.select_columns(["a", "b"]), ids_ds, id_col)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -339,13 +337,10 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
         return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
                              "b": pd.Series(out_b, dtype=np.int64)})
 
-    pairs = (docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-             .groupby(["band", "band_key"])
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .to_pandas())
-    if "a" not in pairs.columns:  # zero candidate pairs anywhere
-        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64)})
-    pairs = pairs.drop_duplicates(["a", "b"])
-    all_ids = docs_ds.select_columns([id_col]).to_pandas()[id_col]
-    return _cluster_pairs(pairs["a"].tolist(), pairs["b"].tolist(), all_ids)
+    from pawpaw_ray.stages.cc import cc_labels_pandas
+
+    pairs = _dedup_pairs(
+        docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas"))
+    return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)

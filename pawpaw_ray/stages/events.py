@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from pawpaw_ray.tuning import shuffle_buckets
+
 
 def window_partials_batch(batch: pa.Table, window_s: int = 3600) -> pa.Table:
     """Per-batch partial tumbling-window aggregation: (user_id, win) →
@@ -34,8 +36,9 @@ def window_merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def tumbling_window(events_ds, window_s: int = 3600, n_buckets: int = 32):
+def tumbling_window(events_ds, window_s: int = 3600, n_buckets: int | None = None):
     """(user_id, win, n, min_value, max_value) via partial+final aggregation."""
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
     partials = events_ds.map_batches(
         lambda b: window_partials_batch(b, window_s), batch_format="pyarrow")
 
@@ -91,7 +94,8 @@ def sessionize_bucket(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     return out
 
 
-def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 32):
+def sessionize(events_ds, gap_s: int = 1800, n_buckets: int | None = None):
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
     """(user_id, session_idx, n_events, start_ts, end_ts) — the windowed
     sessionization a training-data pipeline uses to segment event streams;
     one bucketed shuffle, per-bucket vectorized scan."""
@@ -105,7 +109,8 @@ def sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 32):
                         batch_format="pandas"))
 
 
-def user_ordered_stats(events_ds, n_buckets: int = 32):
+def user_ordered_stats(events_ds, n_buckets: int | None = None):
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
     def add_bucket(b: pa.Table) -> pa.Table:
         buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
         return b.append_column("ubucket", pa.array(buck, pa.int32()))

@@ -126,7 +126,8 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
     lookup_ref = ray.put(cust_region)
 
     def partial(b: pa.Table) -> pa.Table:
-        lut = ray.get(lookup_ref)
+        from pawpaw_ray.state.broadcast import cached_get
+        lut = cached_get(lookup_ref)  # deserialized once per worker process
         df = b.to_pandas()
         df["r_name"] = df["o_custkey"].map(lut)
         df["revenue_cents"] = _cents(df["o_totalprice"])

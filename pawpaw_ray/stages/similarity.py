@@ -133,20 +133,48 @@ class HyperplaneSigner:
         return batch.append_column("lsh_code", pa.array(codes, pa.uint64()))
 
 
-def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
-                 n_bits: int = 8, id_col: str = "vec_id",
-                 vec_col: str = "embedding", concurrency=(1, 8)) -> pd.DataFrame:
-    """Approximate top-k: score only rows whose hyperplane code matches a
-    query's code (single-probe LSH).
+def _sniff_dim(embeddings_ds, vec_col: str) -> int:
+    """Vector width from the first row (limit-pushdown read of one
+    row-group; callers that know the width pass ``dim=`` and skip this)."""
+    return len(embeddings_ds.take(1)[0][vec_col])
 
-    Scale path: the signature pass is a streaming map; only the matching
+
+def _probe_codes(q_codes: np.ndarray, n_bits: int, radius: int) -> np.ndarray:
+    """Multi-probe expansion: every code within Hamming ``radius`` of any
+    query code.  Single-probe hyperplane LSH has poor recall on
+    structure-free embeddings (a near neighbor crosses ~θ/π of the planes);
+    probing the Hamming ball recovers it at the cost of scanning
+    sum_{i<=r} C(n_bits, i) / 2^n_bits of the table."""
+    from itertools import combinations
+
+    masks = [np.uint64(0)]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(np.uint64(m))
+    expanded = (q_codes[:, None].astype(np.uint64)
+                ^ np.asarray(masks, dtype=np.uint64)[None, :])
+    return np.unique(expanded)
+
+
+def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
+                 n_bits: int = 8, probe_radius: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None, concurrency=(1, 8)) -> pd.DataFrame:
+    """Approximate top-k: score only rows whose hyperplane code lies within
+    Hamming ``probe_radius`` of a query's code (multi-probe LSH).
+
+    Scale path: the signature pass is a streaming map; only the probed
     buckets are scored.  Recall < 1 by construction — the brute-force
-    :func:`ann_topk` is the correctness baseline it trades against.
+    :func:`ann_topk` is the correctness baseline; tests/test_neardup gate
+    recall@k against it on the fixture embeddings.
     """
     import pyarrow.compute as pc
     import ray
 
-    dim = len(embeddings_ds.take(1)[0][vec_col])
+    dim = dim or _sniff_dim(embeddings_ds, vec_col)
     H = _hyperplanes(n_bits, dim)
 
     id_set = pa.array(query_ids, pa.int64())
@@ -157,7 +185,7 @@ def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
             .set_index(id_col).loc[list(query_ids)])
     Q = np.stack(qtab[vec_col].to_numpy()).astype(np.float64)
     q_codes = _signs_to_codes((Q @ H.T) > 0)
-    wanted = pa.array(np.unique(q_codes), pa.uint64())
+    wanted = pa.array(_probe_codes(q_codes, n_bits, probe_radius), pa.uint64())
 
     signed = embeddings_ds.map_batches(
         HyperplaneSigner,
@@ -186,64 +214,82 @@ def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
     return pd.concat(out, ignore_index=True)
 
 
+class MultiTableSigner:
+    """Actor-pool stage: L independent hyperplane signatures per row — one
+    output row per (table, code).  Multiple tables are the standard recall
+    fix for cosine LSH (P[pair shares >=1 table] = 1-(1-p^bits)^L); the
+    plane tensor is seed-derived in ``__init__``, zero broadcast traffic."""
+
+    def __init__(self, n_bits: int, dim: int, n_tables: int = 8,
+                 seed: int = 11, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.H = rng.standard_normal((n_tables, n_bits, dim))
+        self.n_tables = n_tables
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch[self.vec_col])
+        n = len(M)
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        codes = np.empty((self.n_tables, n), dtype=np.uint64)
+        for t in range(self.n_tables):
+            codes[t] = _signs_to_codes((M @ self.H[t].T) > 0)
+        table_ids = np.repeat(np.arange(self.n_tables, dtype=np.int32), n)
+        vecs = batch[self.vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        vec_rep = pa.concat_arrays([vecs] * self.n_tables)
+        return pa.table({
+            self.id_col: pa.array(np.tile(ids, self.n_tables), pa.int64()),
+            "lsh_table": pa.array(table_ids, pa.int32()),
+            "lsh_code": pa.array(codes.reshape(-1), pa.uint64()),
+            self.vec_col: vec_rep,
+        })
+
+
 def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
-                       n_bits: int = 10, id_col: str = "vec_id",
-                       vec_col: str = "embedding",
+                       n_bits: int = 10, n_tables: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None,
                        concurrency=(1, 8)) -> pd.DataFrame:
     """Embedding-cosine near-duplicate clusters.
 
-    Hyperplane-LSH bucket groupby → exact pairwise cosine INSIDE each
-    bucket (vectorized matmul per group) → min-label connected components.
-    Only (id, code, vec) rows move through the shuffle; pairs above
-    ``threshold`` are a tiny output.  Single-probe bucketing trades recall
-    for a full-table-scan-free plan, same as every production near-dup
-    pass; raise ``n_bits`` for precision, lower it for recall.
+    L-table hyperplane-LSH bucket groupby → exact pairwise cosine INSIDE
+    each bucket (vectorized matmul per group) → distributed min-label
+    connected components (:mod:`pawpaw_ray.stages.cc`).  Only
+    (id, table, code, vec) rows move through the shuffle; pairs above
+    ``threshold`` are a tiny output and duplicates across tables collapse
+    in one small aggregate.  ``n_tables`` trades shuffle volume for recall
+    (single-table single-probe recall was the round-1 weak spot).
     """
+    from pawpaw_ray.stages.cc import cc_labels_pandas
+    from pawpaw_ray.stages.dedup import _dedup_pairs
+
     signed = embeddings_ds.map_batches(
-        HyperplaneSigner,
-        fn_constructor_kwargs={"n_bits": n_bits,
-                               "dim": len(embeddings_ds.take(1)[0][vec_col]),
-                               "vec_col": vec_col},
+        MultiTableSigner,
+        fn_constructor_kwargs={
+            "n_bits": n_bits, "dim": dim or _sniff_dim(embeddings_ds, vec_col),
+            "n_tables": n_tables, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow", concurrency=concurrency)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
         if len(g) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "sim": pd.Series([], dtype=np.float64)})
+                                 "b": pd.Series([], dtype=np.int64)})
         ids = g[id_col].to_numpy(np.int64)
         M = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         S = M @ M.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = S[iu, ju] >= threshold
         return pd.DataFrame({"a": np.minimum(ids[iu[hit]], ids[ju[hit]]),
-                             "b": np.maximum(ids[iu[hit]], ids[ju[hit]]),
-                             "sim": S[iu, ju][hit]})
+                             "b": np.maximum(ids[iu[hit]], ids[ju[hit]])})
 
-    pairs = (signed.groupby("lsh_code")
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .to_pandas())
-    if "a" not in pairs.columns:  # zero pairs anywhere → empty frame
-        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64)})
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["a"].tolist(), pairs["b"].tolist()):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
-    all_ids = embeddings_ds.select_columns([id_col]).to_pandas()[id_col]
-    return pd.DataFrame({
-        id_col: all_ids.to_numpy(np.int64),
-        "cluster_id": np.fromiter((find(int(i)) for i in all_ids),
-                                  dtype=np.int64, count=len(all_ids)),
-    })
+    pairs = _dedup_pairs(
+        signed.groupby(["lsh_table", "lsh_code"])
+        .map_groups(bucket_pairs, batch_format="pandas"))
+    out = cc_labels_pandas(pairs, embeddings_ds.select_columns([id_col]),
+                           id_col)
+    return out

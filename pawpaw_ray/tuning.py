@@ -39,3 +39,20 @@ def read_blocks_for(ncpu: int | None = None) -> int:
         except Exception:
             ncpu = 8
     return ncpu
+
+
+def shuffle_buckets(multiplier: int = 2, floor: int = 16,
+                    cap: int = 4096, ncpu: int | None = None) -> int:
+    """Shuffle fan-out for the bucketed-groupby pattern, derived from the
+    cluster size instead of a hard-coded constant: ``multiplier x CPUs``
+    balanced reduce partitions (clamped).  At 32 CPUs this reproduces the
+    round-1 measured-optimal 64; on a 256-node cluster it scales the reduce
+    parallelism instead of capping it."""
+    import ray
+
+    if ncpu is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            ncpu = 8
+    return min(cap, max(floor, multiplier * ncpu))

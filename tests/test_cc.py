@@ -1,0 +1,191 @@
+"""Distributed connected components + round-2 dedup fixes.
+
+cc_labels (star-contraction rounds, stages/cc.py) is differentially tested
+against a driver-side union-find on random graphs; the near_dup_jaccard
+all-pairs fix is pinned by the bucket counterexample from the round-1
+verdict (star-only pairing loses b~c whenever the bucket min fails
+verification)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _union_find_labels(pairs, ids):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(int(i)) for i in ids}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (0, 30, 10), (1, 50, 60), (2, 200, 150), (3, 8, 0), (4, 40, 39),
+])
+def test_cc_labels_matches_union_find(ray_session, seed, n_nodes, n_edges):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.cc import cc_labels_pandas
+
+    rng = np.random.RandomState(seed)
+    ids = np.arange(n_nodes, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    a = rng.choice(ids, size=n_edges)
+    b = rng.choice(ids, size=n_edges)
+    keep = a != b
+    pairs = pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    got = cc_labels_pandas(
+        rd.from_pandas(pairs), rd.from_pandas(pd.DataFrame({"doc_id": ids})))
+    want = _union_find_labels(zip(pairs["a"], pairs["b"]), ids)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+    assert len(got) == n_nodes
+
+
+def test_cc_long_chain(ray_session):
+    """A path graph needs multiple contraction rounds — exercises the
+    convergence loop, not just the one-round star case."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.cc import cc_labels_pandas
+
+    n = 64
+    pairs = pd.DataFrame({"a": np.arange(n - 1, dtype=np.int64),
+                          "b": np.arange(1, n, dtype=np.int64)})
+    ids = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    got = cc_labels_pandas(rd.from_pandas(pairs), rd.from_pandas(ids))
+    assert (got["cluster_id"] == 0).all()
+
+
+def test_pairs_from_bucket_all_pairs():
+    from pawpaw_ray.stages.dedup import _pairs_from_bucket
+
+    g = pd.DataFrame({"doc_id": [3, 1, 2, 1]})
+    star = _pairs_from_bucket(g)
+    assert set(zip(star["a"], star["b"])) == {(1, 2), (1, 3)}
+    full = _pairs_from_bucket(g, all_pairs=True)
+    assert set(zip(full["a"], full["b"])) == {(1, 2), (1, 3), (2, 3)}
+    # cap falls back to star pairs
+    capped = _pairs_from_bucket(g, all_pairs=True, max_all_pairs=2)
+    assert set(zip(capped["a"], capped["b"])) == {(1, 2), (1, 3)}
+
+
+def test_near_dup_jaccard_verified_edge_not_pruned(ray_session):
+    """Round-1 verdict counterexample: bucket {a,b,c} where a fails
+    verification against both b and c, but b~c is genuine.  Star-only
+    pairing would never test (b, c) and wrongly split them."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.dedup import (
+        MinHashLSH,
+        jaccard,
+        minhash_signature,
+        near_dup_jaccard,
+        shingles,
+    )
+
+    b_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    c_text = b_text + " phi chi"          # J(b, c) well above 0.5
+    assert jaccard(b_text, c_text) >= 0.5
+
+    # deterministically search for a text sharing a band with b (same LSH
+    # params as the operator) while staying below the Jaccard threshold
+    lsh = MinHashLSH(num_perm=64, bands=16)
+
+    def bands(text):
+        import hashlib
+        sig = minhash_signature(text, lsh.seeds, lsh.k)
+        return {hashlib.sha1(
+            sig[i * 4:(i + 1) * 4].tobytes() + bytes([i])).hexdigest()[:16]
+            for i in range(16)}
+
+    b_bands = bands(b_text)
+    words = b_text.split()
+    a_text = None
+    for i in range(2000):
+        # replace a sliding 6-word block of b with noise: J ~ 0.38-0.44,
+        # colliding on some band for many (offset, noise) combinations
+        off = i % 15
+        cand = " ".join(words[:off] + [f"n{i}x{j}" for j in range(6)]
+                        + words[off + 6:])
+        if jaccard(cand, b_text) < 0.5 and jaccard(cand, c_text) < 0.5 \
+                and bands(cand) & b_bands:
+            a_text = cand
+            break
+    assert a_text is not None, "no colliding low-Jaccard text found"
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [a_text, b_text, c_text]}))
+    out = near_dup_jaccard(docs, threshold=0.5, bands=16)
+    byid = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert byid[2] == byid[3] == 2, byid   # b~c survives a's false positive
+    assert byid[1] == 1                    # a stays singleton
+
+
+def test_simhash_vectorized_matches_reference_loop():
+    """The vectorized simhash64 must be bit-identical to the obvious
+    per-token loop (the round-1 implementation)."""
+    import hashlib
+
+    from pawpaw_ray.stages.dedup import _norm_tokens, simhash64
+
+    def slow(text):
+        toks = _norm_tokens(text)
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for t in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    for text in ["", "one", "the quick brown fox", "a a a b b c",
+                 "Unicode ÆØÅ tokens 123 _under_score_ mixed CASE case"]:
+        assert simhash64(text) == slow(text), text
+
+
+def test_minhash_match_rate_tracks_jaccard():
+    """The per-permutation minhash match rate must track true Jaccard (the
+    round-1 modular family was piecewise-monotone in the shingle hash and
+    measured ~0.12 at J=0.29)."""
+    from pawpaw_ray.stages.dedup import _minhash_params, jaccard, minhash_signature
+
+    (seeds,) = _minhash_params(2048)
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"tok{i}" for i in range(20)) + " " + \
+        " ".join(f"alt{i}" for i in range(20))
+    J = jaccard(base, other)
+    sa = minhash_signature(base, seeds)
+    sb = minhash_signature(other, seeds)
+    rate = float((sa == sb).mean())
+    assert abs(rate - J) < 0.05, (rate, J)
+
+
+def test_exact_dedup_keys_only_shuffle(ray_session):
+    """exact_dedup output parity after the keys-only rewrite, and the keyed
+    batch must not carry the text column into the shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pawpaw_ray.stages.dedup import exact_dedup, exact_key_batch
+
+    df = pd.DataFrame({
+        "doc_id": [5, 1, 2, 3, 4],
+        "text": ["x", "dup", "dup", "y", "dup"]})
+    keyed = exact_key_batch(pa.Table.from_pandas(df))
+    assert set(keyed.column_names) == {"text_sha1", "doc_id"}
+
+    out = exact_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_copies"]))
+    assert got == {1: 3, 3: 1, 5: 1}
