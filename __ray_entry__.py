@@ -333,7 +333,11 @@ def _q_ann_topk_lsh(sf_dir: str):
     from pawpaw_ray.stages.similarity import ann_topk_lsh
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    out = ann_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K, n_bits=3)
+    # 6-bit codes + Hamming-radius-2 multi-probe: ~35% of the table scanned;
+    # recall on the structure-free fixture embeddings tracks the scan
+    # fraction (documented bound — tests/test_neardup_multimodal.py gates
+    # recall on the structured fixture)
+    out = ann_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K, n_bits=6, probe_radius=2)
     return out[["query_id", "vec_id", "rank"]]
 
 
@@ -401,7 +405,7 @@ def _q_fingerprint(sf_dir: str):
     from pawpaw_ray.stages.textstats import fingerprint_batch
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(fingerprint_batch, batch_format="pyarrow")
-            .select_columns(["doc_id", "content_sha1"]))
+            .select_columns(["doc_id", "content_sha256"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -454,6 +458,124 @@ _NUMBER_SQL_PATTERN = (
     r"[-+]?(\d{1,3}(,\d{3})+|\d+)(\.\d+)?([eE][-+]?\d+| ?[Xx] ?10\^ ?[-+]?\d+)?"
     r"|[-+]?\.\d+([eE][-+]?\d+)?"
 )
+
+# golden parquet snapshots (scripts/make_golden.py): reference-implementation
+# or deliberately-naive independent reimplementations of the non-SQL
+# operators, regenerated only when rules change.  The driver's DuckDB reads
+# them via read_parquet, closing the round-1 `no_oracle` gap.
+_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "golden", "sf0.01")
+
+
+def _golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+
+
+def _jaccard_cluster_sql(threshold: float) -> str:
+    """Brute-force word-3-gram Jaccard pairs >= threshold + recursive-CTE
+    connected components — an implementation-independent oracle for the
+    LSH-based near-dup operators.  Valid on the sf0.01 fixture because its
+    only near-dup pairs sit at J in {0.9, 1.0}, far from both thresholds,
+    where banded-minhash recall is ~1 - 4e-8 (measured: LSH output equals
+    this brute force for every threshold in [0.5, 0.9])."""
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    END AS shg
+  FROM (SELECT doc_id,
+        list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                       x -> lower(x)) AS toks
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(a.shg) = 0 AND len(b.shg) = 0 THEN 1.0
+             ELSE len(list_intersect(a.shg, b.shg))::DOUBLE
+                  / greatest(1, len(list_distinct(list_concat(a.shg, b.shg))))
+        END >= {threshold}
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+_SIMHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id, simhash64 FROM read_parquet('{_GOLDEN_DIR}/simhash.parquet')
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM sig
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+_EMBEDDING_NEAR_DUP_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
+)
+SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+_STOPWORDS_SQL = {
+    "en": ("the", "and", "of", "a", "to", "in", "is", "it", "that", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "den", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+}
+
+
+def _langid_sql() -> str:
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS_SQL[lang]))
+
+    # tie-break mirrors the kernel: languages checked in sorted order with
+    # strict >, so the alphabetically-first language wins ties
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      regexp_extract_all(text, '[A-Za-z0-9_]+')[1:200], x -> lower(x)))) AS tok
+  FROM documents),
+c AS (
+  SELECT d.doc_id,
+    count(DISTINCT tok) FILTER (tok IN ({inlist('de')})) AS de,
+    count(DISTINCT tok) FILTER (tok IN ({inlist('en')})) AS en,
+    count(DISTINCT tok) FILTER (tok IN ({inlist('es')})) AS es,
+    count(DISTINCT tok) FILTER (tok IN ({inlist('fr')})) AS fr
+  FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id GROUP BY d.doc_id)
+SELECT doc_id, CASE
+  WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+  WHEN en > 0 AND en >= es AND en >= fr THEN 'en'
+  WHEN es > 0 AND es >= fr THEN 'es'
+  WHEN fr > 0 THEN 'fr'
+  ELSE 'und' END AS lang_pred
+FROM c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -544,4 +666,26 @@ def oracle_sql() -> dict[str, str]:
             "                          ORDER BY sim DESC, vec_id ASC) AS rank "
             "      FROM s) "
             f"SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}",
+        # --- direct-SQL oracles (round 2) --------------------------------
+        "fingerprint":
+            "SELECT doc_id, sha256(lower(trim(regexp_replace("
+            r"text, '\s+', ' ', 'g')))) AS content_sha256 FROM documents",
+        "langid": _langid_sql(),
+        "minhash_dedup": _jaccard_cluster_sql(0.8),
+        "near_dup_jaccard": _jaccard_cluster_sql(0.5),
+        "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
+        "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
+        # --- golden-parquet oracles (scripts/make_golden.py: reference
+        # implementation or independent naive reimplementation) -----------
+        "kg_triples": _golden_sql("kg_triples"),
+        "kg_entities": _golden_sql("kg_entities"),
+        "kg_mentions": _golden_sql("kg_mentions"),
+        "segment_stats": _golden_sql("segment_stats"),
+        "plumule_select": _golden_sql("plumule_select"),
+        "numbers_extract": _golden_sql("numbers_extract"),
+        "table_extract": _golden_sql("table_extract"),
+        "xml_extract": _golden_sql("xml_extract"),
+        "media_features": _golden_sql("media_features"),
+        "simhash": _golden_sql("simhash"),
+        "ann_topk_lsh": _golden_sql("ann_topk_lsh"),
     }

@@ -166,6 +166,11 @@ def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
     """Approximate top-k: score only rows whose hyperplane code lies within
     Hamming ``probe_radius`` of a query's code (multi-probe LSH).
 
+    Batch-probe semantics: ONE shared candidate scan — the union of every
+    query's Hamming ball — is scored against every query (a candidate probed
+    for query A is eligible for query B's top-k too; with per-query balls
+    the scan would repeat per query for strictly less recall).
+
     Scale path: the signature pass is a streaming map; only the probed
     buckets are scored.  Recall < 1 by construction — the brute-force
     :func:`ann_topk` is the correctness baseline; tests/test_neardup gate

@@ -72,10 +72,11 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: sha1 of the normalized text (exact-dup key) and
     a 64-bit rolling-window min-hash style fingerprint."""
-    sha, rolling = [], []
+    sha, sha256, rolling = [], [], []
     for text in batch[text_col].to_pylist():
         norm = " ".join((text or "").split()).casefold()
         sha.append(hashlib.sha1(norm.encode()).hexdigest())
+        sha256.append(hashlib.sha256(norm.encode()).hexdigest())
         h = np.uint64(1469598103934665603)
         best = np.uint64(0xFFFFFFFFFFFFFFFF)
         with np.errstate(over="ignore"):
@@ -85,4 +86,5 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                     best = h
         rolling.append(int(best))
     return (batch.append_column("content_sha1", pa.array(sha, pa.string()))
+                 .append_column("content_sha256", pa.array(sha256, pa.string()))
                  .append_column("fingerprint64", pa.array(rolling, pa.uint64())))

@@ -1,0 +1,599 @@
+"""Golden-oracle generator for the driver's CORRECTNESS gate (sf0.01).
+
+For queries whose semantics DuckDB cannot express directly, this script
+produces parquet snapshots under ``golden/sf0.01/`` that ``oracle_sql()``
+reads via ``read_parquet(...)`` — turning the repo's differential-test
+evidence into driver-visible hash-verified rows.
+
+Independence discipline (what makes these oracles, not fixtures):
+
+* **Reference-implementation goldens** — segmentation trees, sentence
+  boundaries, plumule queries, number matches and XML spans are produced by
+  running the ACTUAL reference library (``/root/reference`` pawpaw: SimpleNlp,
+  ``pawpaw.query.find_all``, ``nlp.Number().re``, ``xml.XmlParser``) over the
+  same inputs.  The engine's kernels never execute here.
+* **Deliberately-naive reimplementations** — the KG pipeline (link → coref →
+  canonicalize → dedup → entities), the mention scanner (stdlib ``re``, not
+  the ``regex`` module), grid-table parsing (line-based, not regex), simhash
+  (per-token loop), media decoding and multi-probe ANN are re-derived from
+  the documented specs as single-process loops sharing no code with the Ray
+  stages.  Shared constants are limited to the *rule definitions themselves*
+  (SVO pattern, alias catalog, FakeCodec payload format) — the specs both
+  sides must agree on.
+
+Run: ``python scripts/make_golden.py [out_dir]`` (defaults to
+``golden/sf0.01``).  Deterministic; regenerate only when rules change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(1, "/root/reference")
+
+SF_DIR = "/root/testdata/sf0.01"
+N_TURNS = 20_000  # _SF_TURNS["0.01"] in __ray_entry__
+
+WINDOW_TURNS = 8
+PERSON_PREFIX = "person"
+
+
+def _out_dir() -> str:
+    d = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "golden", "sf0.01")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write(d: str, name: str, df: pd.DataFrame) -> None:
+    path = os.path.join(d, f"{name}.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    print(f"wrote {path}: {len(df)} rows")
+
+
+# ---------------------------------------------------------------------------
+# shared inputs (fixture data, not oracle logic)
+# ---------------------------------------------------------------------------
+
+def _transcripts() -> tuple[pd.DataFrame, pa.Table]:
+    from pawpaw_ray.datagen import ensure_transcripts
+    d = ensure_transcripts(N_TURNS, use_ray=False)
+    import glob
+    files = sorted(glob.glob(os.path.join(d, "transcripts", "*.parquet"))) or \
+        sorted(glob.glob(os.path.join(d, "*.parquet")))
+    files = [f for f in files if not f.endswith("alias_catalog.parquet")]
+    turns = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    turns = turns.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    catalog = pq.read_table(os.path.join(d, "alias_catalog.parquet"))
+    return turns, catalog
+
+
+def _documents() -> pd.DataFrame:
+    return pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# reference segmentation helpers
+# ---------------------------------------------------------------------------
+
+def _ref_sentence_itor():
+    import pawpaw
+    para = pawpaw.nlp.Paragraph().get_itor()
+    sent = pawpaw.nlp.Sentence().get_itor()
+    para.connections.append(pawpaw.arborform.Connectors.Delegate(sent))
+    return para
+
+
+def _ref_simple_nlp():
+    import pawpaw
+    return pawpaw.nlp.SimpleNlp()
+
+
+# ---------------------------------------------------------------------------
+# naive KG pipeline (reference sentences + spec reimplementation)
+# ---------------------------------------------------------------------------
+
+def _alias_lookup(catalog: pa.Table):
+    by_alias: dict[str, list[tuple[str, str, str]]] = {}
+    for eid, path, can, aliases in zip(
+            catalog["entity_id"].to_pylist(), catalog["entity_path"].to_pylist(),
+            catalog["canonical"].to_pylist(), catalog["aliases"].to_pylist()):
+        for a in aliases:
+            by_alias.setdefault(a.casefold(), []).append((eid, path, can))
+    for v in by_alias.values():
+        v.sort()
+
+    def lookup(surface: str):
+        hits = by_alias.get(surface.strip().casefold())
+        if not hits:
+            return None, None, None, False
+        return hits[0][0], hits[0][1], hits[0][2], len(hits) > 1
+
+    return lookup
+
+
+_NORM_EDGE = re.compile(r"^[\W_]+|[\W_]+$")
+_NORM_WS = re.compile(r"\s+")
+
+
+def _norm_surface(s: str) -> str:
+    return _NORM_WS.sub(" ", _NORM_EDGE.sub("", s)).casefold()
+
+
+def _synth_id(norm: str) -> str:
+    return "unk-" + hashlib.sha1(norm.encode()).hexdigest()[:12]
+
+
+def golden_kg(d: str, turns: pd.DataFrame, catalog: pa.Table) -> None:
+    import pawpaw
+
+    from pawpaw_ray.kernels.triples import SUBJECT_PRONOUNS, SVO_RE  # rule spec
+
+    itor = _ref_sentence_itor()
+    lookup = _alias_lookup(catalog)
+
+    rows = []
+    for conv, tidx, text in zip(turns["conv_id"], turns["turn_idx"],
+                                turns["text"]):
+        if not text:
+            continue
+        for ito in itor(pawpaw.Ito(text)):
+            m = SVO_RE.fullmatch(text, pos=ito.start, endpos=ito.stop)
+            if m is None:
+                continue
+            subj, pred, obj = m.group("subj"), m.group("pred"), m.group("obj")
+            s_id, s_path, s_can, _ = lookup(subj)
+            o_id, o_path, o_can, _ = lookup(obj)
+            rows.append({
+                "conv_id": conv, "turn_idx": int(tidx),
+                "subj": subj, "pred": pred, "obj": obj,
+                "s_start": m.start("subj"),
+                "subj_is_pronoun": subj in SUBJECT_PRONOUNS,
+                "subj_id": s_id, "subj_path": s_path, "subj_canonical": s_can,
+                "obj_id": o_id, "obj_path": o_path, "obj_canonical": o_can,
+            })
+
+    df = pd.DataFrame(rows)
+    # coreference: per conversation, ordered (turn_idx, s_start)
+    df = df.sort_values(["conv_id", "turn_idx", "s_start"],
+                        kind="mergesort").reset_index(drop=True)
+    via = np.zeros(len(df), dtype=bool)
+    for _, idx in df.groupby("conv_id", sort=False).indices.items():
+        last_turn = last_id = last_can = None
+        for i in idx:
+            r = df.iloc[i]
+            if r["subj_is_pronoun"]:
+                if last_id is not None and r["turn_idx"] - last_turn <= WINDOW_TURNS:
+                    df.iat[i, df.columns.get_loc("subj_id")] = last_id
+                    df.iat[i, df.columns.get_loc("subj_path")] = PERSON_PREFIX
+                    df.iat[i, df.columns.get_loc("subj_canonical")] = last_can
+                    via[i] = True
+            elif r["subj_id"] is not None and str(r["subj_path"] or "").startswith(PERSON_PREFIX):
+                last_turn, last_id, last_can = r["turn_idx"], r["subj_id"], r["subj_canonical"]
+    df["via_coref"] = via
+
+    # canonical keys
+    for side in ("subj", "obj"):
+        keys = []
+        for _, r in df.iterrows():
+            if r[f"{side}_id"] is not None:
+                keys.append(r[f"{side}_id"])
+            elif side == "subj" and r["subj_is_pronoun"]:
+                keys.append(None)
+            else:
+                keys.append(_synth_id(_norm_surface(r[side])))
+        df[f"{side}_key"] = keys
+
+    # exact dedup: first occurrence by (conv, turn, s_start) + count
+    dd = df[df["subj_key"].notna()].sort_values(
+        ["subj_key", "pred", "obj_key", "conv_id", "turn_idx", "s_start"],
+        kind="mergesort")
+    grp = dd.groupby(["subj_key", "pred", "obj_key"], sort=False)
+    first = dd.drop_duplicates(["subj_key", "pred", "obj_key"]).copy()
+    first["n_dups"] = grp.size().to_numpy(np.int64)
+    triples = first[["conv_id", "turn_idx", "subj", "pred", "obj",
+                     "subj_key", "obj_key", "via_coref", "n_dups"]]
+    triples = triples.sort_values(["subj_key", "pred", "obj_key"]).reset_index(drop=True)
+    _write(d, "kg_triples", triples)
+
+    # entity table over ALL keyed rows (pre-dedup), both endpoints
+    ent_rows = []
+    for side in ("subj", "obj"):
+        for _, r in df.iterrows():
+            if r[f"{side}_key"] is None:
+                continue
+            ent_rows.append({
+                "entity_key": r[f"{side}_key"],
+                "entity_path": r[f"{side}_path"] or "",
+                "canonical": r[f"{side}_canonical"] or "",
+                "surface": r[side],
+            })
+    e = pd.DataFrame(ent_rows)
+    totals = e.groupby("entity_key")["surface"].size()
+    paths = e.groupby("entity_key")["entity_path"].max()
+    cat = (e[e["canonical"] != ""].groupby("entity_key")["canonical"].min())
+    surf = (e.groupby(["entity_key", "surface"]).size().reset_index(name="n")
+            .sort_values(["entity_key", "n", "surface"],
+                         ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("entity_key").set_index("entity_key")["surface"])
+    rep = cat.reindex(totals.index)
+    rep = rep.fillna(surf.reindex(totals.index))
+    entities = pd.DataFrame({
+        "entity_id": totals.index,
+        "entity_path": paths.reindex(totals.index).to_numpy(object),
+        "canonical_surface": rep.to_numpy(object),
+        "n_mentions": totals.to_numpy(np.int64),
+    }).sort_values("entity_id").reset_index(drop=True)
+    _write(d, "kg_entities", entities)
+
+
+def golden_mentions(d: str, turns: pd.DataFrame, catalog: pa.Table) -> None:
+    """Mention scan with stdlib ``re`` (leftmost, longest-alternative-first
+    by explicit length-descending ordering — the \\L<> semantics)."""
+    surfaces: set[str] = set()
+    for aliases in catalog["aliases"].to_pylist():
+        surfaces.update(aliases)
+    pat = re.compile(
+        r"(?<!\w)(?:" + "|".join(
+            re.escape(s) for s in sorted(surfaces, key=lambda s: (-len(s), s))
+        ) + r")(?!\w)")
+    lookup = _alias_lookup(catalog)
+
+    rows = []
+    for conv, tidx, text in zip(turns["conv_id"], turns["turn_idx"],
+                                turns["text"]):
+        if not text:
+            continue
+        for m in pat.finditer(text):
+            s = m.group(0)
+            eid, path, _can, amb = lookup(s)
+            rows.append((conv, int(tidx), m.start(), m.end(), s, eid, path, amb))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "start", "stop",
+                                     "surface", "entity_id", "entity_path",
+                                     "ambiguous"])
+    df = df.sort_values(["conv_id", "turn_idx", "start"]).reset_index(drop=True)
+    _write(d, "kg_mentions", df)
+
+
+# ---------------------------------------------------------------------------
+# documents-table goldens via reference SimpleNlp
+# ---------------------------------------------------------------------------
+
+DESC_VOCAB = ["Document", "paragraph", "sentence", "word",
+              "number", "sign", "integer", "decimal", "exponent", "char"]
+
+
+def _flatten(root):
+    out = []
+
+    def walk(ito, parent):
+        idx = len(out)
+        out.append((ito.start, ito.stop, ito.desc, parent))
+        for ch in ito.children:
+            walk(ch, idx)
+
+    walk(root, -1)
+    return out
+
+
+def golden_segment_and_select(d: str, docs: pd.DataFrame) -> None:
+    import pawpaw
+
+    nlp = _ref_simple_nlp()
+    query = "**[d:sentence]{**[d:word] & [lcs:table]}/**[d:word] & [i:0-19]"
+
+    stats_rows, sel_rows = [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        root = nlp.from_text(text or "")
+        nodes = _flatten(root)
+        counts = {f"n_{v.lower()}": 0 for v in DESC_VOCAB}
+        for _, _, desc, _ in nodes:
+            key = f"n_{(desc or '').lower()}"
+            if key in counts:
+                counts[key] += 1
+        stats_rows.append({"doc_id": int(doc_id), **counts})
+        for ito in pawpaw.query.find_all(query, root):
+            sel_rows.append({"doc_id": int(doc_id), "start": ito.start,
+                             "stop": ito.stop, "desc": ito.desc,
+                             "match": str(ito)})
+    _write(d, "segment_stats", pd.DataFrame(stats_rows))
+    _write(d, "plumule_select", pd.DataFrame(sel_rows))
+
+
+def golden_numbers(d: str, turns: pd.DataFrame) -> None:
+    """Reference ``nlp.Number().re`` matches + naive value parse."""
+    import pawpaw
+
+    num_re = pawpaw.nlp.Number().re
+
+    def value_of(s: str) -> float:
+        t = s.replace(",", "")
+        low = t.lower()
+        for mark in ("x", "✕"):
+            if mark in low and "10^" in low:
+                mant, _, exp = low.partition(mark)
+                exp = exp.replace(" ", "")
+                if exp.startswith("10^"):
+                    exp = exp[3:]
+                return float(mant) * 10.0 ** float(exp)
+        return float(t)
+
+    rows = []
+    for conv, tidx, text in zip(turns["conv_id"], turns["turn_idx"],
+                                turns["text"]):
+        for m in num_re.finditer(text or ""):
+            raw = m.group("number")
+            rows.append((conv, int(tidx), m.start(), m.end(), raw,
+                         value_of(raw)))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "start", "stop",
+                                     "raw", "value"])
+    df = df.sort_values(["conv_id", "turn_idx", "start"]).reset_index(drop=True)
+    _write(d, "numbers_extract", df)
+
+
+# ---------------------------------------------------------------------------
+# grid tables: independent line-based parser
+# ---------------------------------------------------------------------------
+
+_BORDER = re.compile(r"^\+(?:-+\+)+$")
+
+
+def _parse_grid_tables(text: str):
+    """Line-based reimplementation of the GRID grammar: border /
+    optional (header + same border) / 1+ pipe rows / same border."""
+    lines = text.split("\n")
+    starts = []
+    pos = 0
+    for ln in lines:
+        starts.append(pos)
+        pos += len(ln) + 1
+
+    def is_row(s: str) -> bool:
+        return len(s) >= 2 and s.startswith("|") and s.endswith("|")
+
+    out = []
+    i = 0
+    while i < len(lines):
+        if not _BORDER.match(lines[i]):
+            i += 1
+            continue
+        border = lines[i]
+        # greedy: header variant first
+        for with_header in (True, False):
+            j = i + 1
+            header = None
+            if with_header:
+                if not (j + 1 < len(lines) and is_row(lines[j])
+                        and lines[j + 1] == border):
+                    continue
+                header = lines[j][1:-1]
+                j += 2
+            rows = []
+            while j < len(lines) and is_row(lines[j]):
+                rows.append(lines[j][1:-1])
+                j += 1
+            if rows and j < len(lines) and lines[j] == border:
+                out.append({
+                    "start": starts[i],
+                    "stop": starts[j] + len(border),
+                    "header": header,
+                    "rows": rows,
+                })
+                i = j + 1
+                break
+        else:
+            i += 1
+    return out
+
+
+def golden_tables(d: str, turns: pd.DataFrame) -> None:
+    def cells(s: str) -> str:
+        return "|".join(c.strip() for c in s.split("|"))
+
+    rows = []
+    tool = turns[turns["role"] == "tool"]
+    for conv, tidx, text in zip(tool["conv_id"], tool["turn_idx"],
+                                tool["text"]):
+        if not text or "+" not in text:
+            continue
+        for t_i, tbl in enumerate(_parse_grid_tables(text)):
+            for r_i, row in enumerate(tbl["rows"]):
+                rows.append((conv, int(tidx), t_i, r_i, tbl["start"],
+                             tbl["stop"],
+                             cells(tbl["header"]) if tbl["header"] is not None else None,
+                             cells(row)))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "table_idx",
+                                     "row_idx", "start", "stop", "header",
+                                     "cells"])
+    df = df.sort_values(["conv_id", "turn_idx", "table_idx",
+                         "row_idx"]).reset_index(drop=True)
+    _write(d, "table_extract", df)
+
+
+# ---------------------------------------------------------------------------
+# XML spans via the reference XmlParser (pure-python ET subprocess)
+# ---------------------------------------------------------------------------
+
+_XML_RUNNER = r"""
+import json, sys
+sys.modules['_elementtree'] = None
+sys.path.insert(0, '/root/reference')
+import xml.etree.ElementTree as ET
+from pawpaw import xml as pxml
+
+def flatten(ito, acc):
+    acc.append((ito.desc, ito.start, ito.stop))
+    for c in ito.children:
+        flatten(c, acc)
+    return acc
+
+docs = json.loads(sys.stdin.read())
+out = []
+for doc in docs:
+    root = ET.fromstring(doc, parser=pxml.XmlParser())
+    out.append(flatten(root.ito, []))
+print(json.dumps(out))
+"""
+
+
+def golden_xml(d: str) -> None:
+    n = max(200, N_TURNS // 100)
+    docs = [(i, f'<doc id="{i}"><title>t{i}</title>'
+                f'<body lang="en">word{i} <!-- c{i} --> tail{i}</body></doc>')
+            for i in range(n)]
+    res = subprocess.run(
+        [sys.executable, "-c", _XML_RUNNER],
+        input=json.dumps([x for _, x in docs]),
+        capture_output=True, text=True, check=True)
+    spans = json.loads(res.stdout)
+    rows = []
+    for (doc_id, xml), nodes in zip(docs, spans):
+        for desc, s, e in nodes:
+            piece = xml[s:e] if desc in ("tag", "name", "value", "text") else ""
+            rows.append((doc_id, desc, s, e, piece))
+    df = pd.DataFrame(rows, columns=["doc_id", "desc", "start", "stop",
+                                     "piece"])
+    df = df.sort_values(["doc_id", "start", "stop", "desc"]).reset_index(drop=True)
+    _write(d, "xml_extract", df)
+
+
+# ---------------------------------------------------------------------------
+# media features: spec reimplementation of the FakeCodec format
+# ---------------------------------------------------------------------------
+
+def golden_media(d: str) -> None:
+    from pawpaw_ray.stages.multimodal import ensure_media_parquet  # input data
+
+    n = max(300, N_TURNS // 20)
+    t = pq.read_table(ensure_media_parquet(n))
+    magic = {b"FIMG": "image", b"FAUD": "audio", b"FVID": "video"}
+    rows = []
+    for mid, kind, payload in zip(t["media_id"].to_pylist(),
+                                  t["kind"].to_pylist(),
+                                  t["payload"].to_pylist()):
+        k = magic[payload[:4]]
+        assert k == kind
+        w, h, frames = struct.unpack("<HHH", payload[4:10])
+        digest = hashlib.blake2b(payload, digest_size=32).digest()
+        emb = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)
+        emb = (emb / 65535.0) * 2 - 1
+        scale = min(1.0, 256 / max(w, h))
+        tw = max(1, int(np.rint(w * scale)))
+        th = max(1, int(np.rint(h * scale)))
+        sampled = list(range(0, frames, 10)) if k == "video" else []
+        rows.append((mid, k, w, h, frames, len(payload),
+                     "|".join(f"{x:.6f}" for x in emb), tw, th,
+                     ",".join(map(str, sampled))))
+    df = pd.DataFrame(rows, columns=["media_id", "kind", "width", "height",
+                                     "n_frames", "n_bytes", "embedding",
+                                     "target_w", "target_h", "sampled_frames"])
+    df = df.sort_values("media_id").reset_index(drop=True)
+    _write(d, "media_features", df)
+
+
+# ---------------------------------------------------------------------------
+# simhash: per-token loop reimplementation
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _simhash_slow(text: str) -> int:
+    toks = [t.lower() for t in _TOKEN.findall(text or "")]
+    if not toks:
+        return 0
+    acc = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                           "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(64) if acc[i] > 0)
+
+
+def golden_simhash(d: str, docs: pd.DataFrame) -> None:
+    df = pd.DataFrame({
+        "doc_id": docs["doc_id"].to_numpy(np.int64),
+        "simhash64": np.array([_simhash_slow(t) for t in docs["text"]],
+                              dtype=np.uint64),
+    })
+    _write(d, "simhash", df)
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH ANN: single-process numpy reimplementation
+# ---------------------------------------------------------------------------
+
+def golden_ann_lsh(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
+                   n_bits: int = 6, probe_radius: int = 2,
+                   seed: int = 11) -> None:
+    from itertools import combinations
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    H = rng.standard_normal((n_bits, E.shape[1]))
+    codes = ((E @ H.T) > 0).astype(np.uint64) @ (
+        1 << np.arange(n_bits, dtype=np.uint64))
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    M = E / norms
+
+    # batch-probe semantics (mirrors the operator's contract): ONE shared
+    # candidate set — the union of every query's Hamming ball — is scored
+    # against every query in a single pass
+    ball = set()
+    for qid in query_ids:
+        qi = int(np.flatnonzero(ids == qid)[0])
+        ball.add(int(codes[qi]))
+        for r in range(1, probe_radius + 1):
+            for bits in combinations(range(n_bits), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                ball.add(int(codes[qi]) ^ m)
+    cand = np.isin(codes, np.asarray(sorted(ball), dtype=np.uint64))
+    rows = []
+    for qid in query_ids:
+        qi = int(np.flatnonzero(ids == qid)[0])
+        sims = M[cand] @ M[qi]
+        cids = ids[cand]
+        order = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((qid, int(cids[j]), rank))
+    df = pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
+    _write(d, "ann_topk_lsh", df)
+
+
+def main() -> None:
+    d = _out_dir()
+    turns, catalog = _transcripts()
+    docs = _documents()
+    golden_kg(d, turns, catalog)
+    golden_mentions(d, turns, catalog)
+    golden_segment_and_select(d, docs)
+    golden_numbers(d, turns)
+    golden_tables(d, turns)
+    golden_xml(d)
+    golden_media(d)
+    golden_simhash(d, docs)
+    golden_ann_lsh(d)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,14 +77,30 @@ def test_ann_topk_lsh_vs_bruteforce(embeddings_ds):
     from pawpaw_ray.stages.similarity import ann_topk, ann_topk_lsh
 
     exact = ann_topk(embeddings_ds, [40], k=5)
-    approx = ann_topk_lsh(embeddings_ds, [40], k=5, n_bits=4)
+    approx = ann_topk_lsh(embeddings_ds, [40], k=5, n_bits=4, probe_radius=1)
     # the query's own bucket always contains itself + its near-dups
     got = set(approx["vec_id"])
     assert 40 in got and {41, 42} <= got
-    # recall vs exact top-5
-    assert len(set(exact["vec_id"]) & got) >= 3
+    # recall@5 gate vs the exact baseline (structured fixture: the planted
+    # near-dups share the query's bucket; multi-probe covers the rest)
+    recall = len(set(exact["vec_id"]) & got) / 5
+    assert recall >= 0.8, recall
     assert list(approx.columns) == ["query_id", "vec_id", "sim", "rank",
                                     "lsh_code"]
+
+
+def test_ann_topk_lsh_multiprobe_improves_recall(embeddings_ds):
+    """Multi-probe (round-2 fix) must strictly dominate single-probe on the
+    same code width: the Hamming-ball candidates are a superset."""
+    from pawpaw_ray.stages.similarity import ann_topk, ann_topk_lsh
+
+    exact = set(ann_topk(embeddings_ds, [7], k=10)["vec_id"])
+    r0 = set(ann_topk_lsh(embeddings_ds, [7], k=10, n_bits=4,
+                          probe_radius=0)["vec_id"])
+    r2 = set(ann_topk_lsh(embeddings_ds, [7], k=10, n_bits=4,
+                          probe_radius=2)["vec_id"])
+    assert len(exact & r2) >= len(exact & r0)
+    assert len(exact & r2) / 10 >= 0.8
 
 
 def test_media_pipeline(ray_session):
