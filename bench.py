@@ -102,7 +102,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job at two parallelism levels in fresh processes (sandbox
     stand-in for N- vs 4N-node clusters).
 
-    The scaling fixture is 5x the per-round bench size: per-job fixed costs
+    The scaling fixture is 15x the per-round bench size: per-job fixed costs
     (driver, shuffle barriers, worker spin-up — none of which grow with
     cluster size) would otherwise dominate a ~10 s job and mask the scaling
     behavior that matters at 100 TB, where jobs run hours, not seconds.

@@ -90,10 +90,16 @@ def run_resumable(
 
     os.makedirs(out_root, exist_ok=True)
     shards = _shards(files, n_shards)
+    manifests = read_manifests(out_root)
+    valid_parts = {f"part-{i:05d}" for i in range(len(shards))}
     skipped = ran = 0
     for i, shard in enumerate(shards):
         part = f"part-{i:05d}"
-        if is_complete(out_root, part):
+        # a manifest only proves completeness for the SAME inputs: a rerun
+        # with a different n_shards / file list must redo the shard, not
+        # reuse a mismatched prior output
+        if is_complete(out_root, part) and \
+                manifests.get(part, {}).get("inputs") == shard:
             skipped += 1
             continue
         part_dir = os.path.join(out_root, "triples_raw", part)
@@ -107,9 +113,24 @@ def run_resumable(
         if verbose:
             print(f"[runner] {part}: {payload['rows']} rows")
 
+    # prune leftover part dirs from a prior run with more shards — phase B
+    # must read exactly the current shard list, nothing stale
+    raw_root = os.path.join(out_root, "triples_raw")
+    for leftover in sorted(os.listdir(raw_root)) if os.path.isdir(raw_root) else []:
+        if leftover.startswith("part-") and leftover not in valid_parts:
+            shutil.rmtree(os.path.join(raw_root, leftover))
+            stale_manifest = os.path.join(out_root, "_manifests", f"{leftover}.json")
+            if os.path.exists(stale_manifest):
+                os.remove(stale_manifest)
+
     # phase B: conv-ordered coref + canonical tables over compact rows
     import ray.data as rd
-    linked = rd.read_parquet(os.path.join(out_root, "triples_raw"))
+    part_files = [
+        os.path.join(raw_root, p, f)
+        for p in sorted(valid_parts)
+        for f in sorted(os.listdir(os.path.join(raw_root, p)))
+        if f.endswith(".parquet")]
+    linked = rd.read_parquet(part_files)
     keyed = resolve_coref(linked, window_turns, chunk_turns,
                           salt_chunks=True, add_keys=True).materialize()
     triples = dedup_triples(keyed)

@@ -47,3 +47,52 @@ def test_run_and_resume(tiny_transcripts, tmp_path):
         f.write("{broken")
     r3 = run_resumable(tiny_transcripts, out, n_shards=2)
     assert r3["shards_run"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_invalidates_on_reshard(tiny_transcripts, tmp_path):
+    """A manifest proves completeness only for the same inputs: rerunning
+    with a different n_shards must redo mismatched shards and prune stale
+    part dirs, not silently reuse them (round-1 advice item)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # split the fixture into 4 input files so shard plans can differ
+    files = sorted(glob.glob(os.path.join(tiny_transcripts, "transcripts",
+                                          "*.parquet"))) or \
+        sorted(glob.glob(os.path.join(tiny_transcripts, "*.parquet")))
+    files = [f for f in files if not f.endswith("alias_catalog.parquet")]
+    full = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    src = tmp_path / "split_in"
+    src.mkdir()
+    quarter = (len(full) + 3) // 4
+    for i in range(4):
+        full.iloc[i * quarter:(i + 1) * quarter].to_parquet(
+            src / f"part-{i}.parquet")
+    catalog = pq.read_table(os.path.join(tiny_transcripts,
+                                         "alias_catalog.parquet"))
+
+    out = str(tmp_path / "kg")
+    run_resumable(str(src), out, catalog=catalog, n_shards=4)
+    assert len(os.listdir(os.path.join(out, "triples_raw"))) == 4
+
+    # rerun with 2 shards: all 4 old manifests mismatch → 2 fresh shards,
+    # stale part dirs pruned, output identical to a from-scratch 2-shard run
+    r2 = run_resumable(str(src), out, catalog=catalog, n_shards=2)
+    assert r2["shards_run"] == 2 and r2["shards_skipped"] == 0
+    parts = sorted(os.listdir(os.path.join(out, "triples_raw")))
+    assert parts == ["part-00000", "part-00001"]
+
+    fresh = str(tmp_path / "kg_fresh")
+    run_resumable(str(src), fresh, catalog=catalog, n_shards=2)
+    key = ["subj_key", "pred", "obj_key"]
+    a = pd.read_parquet(os.path.join(out, "triples")).sort_values(
+        key).reset_index(drop=True)
+    b = pd.read_parquet(os.path.join(fresh, "triples")).sort_values(
+        key).reset_index(drop=True)
+    assert a[key + ["n_dups"]].equals(b[key + ["n_dups"]])
+
+    # unchanged rerun still skips both shards
+    r3 = run_resumable(str(src), out, catalog=catalog, n_shards=2)
+    assert r3["shards_run"] == 0 and r3["shards_skipped"] == 2
