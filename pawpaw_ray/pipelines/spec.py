@@ -80,6 +80,7 @@ def stage_factory(f):
 # ---------------------------------------------------------------------------
 
 def _register_builtins() -> None:
+    from pawpaw_ray.stages.arborform import make_arborform_batch
     from pawpaw_ray.stages.dedup import simhash_batch
     from pawpaw_ray.stages.segment import segment_batch, segment_sentences_batch
     from pawpaw_ray.stages.select import make_select_batch
@@ -92,6 +93,7 @@ def _register_builtins() -> None:
     )
     from pawpaw_ray.stages.triples import triples_batch
 
+    register_stage("arborform", stage_factory(make_arborform_batch))
     register_stage("segment", segment_batch)
     register_stage("segment_sentences", segment_sentences_batch)
     register_stage("triples", triples_batch)
