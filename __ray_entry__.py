@@ -408,6 +408,17 @@ def _q_fingerprint(sf_dir: str):
             .select_columns(["doc_id", "content_sha256"]))
 
 
+def _q_ontology_mentions(sf_dir: str):
+    """Hierarchical ontology discovery (reference ``Ontology.discover``,
+    ``/root/reference/pawpaw/ontology/ontology.py:60-70``) over documents:
+    per-node rule callables, results flattened to a mention table.  Oracle
+    is the reference engine run on the same concept tree (golden)."""
+    from pawpaw_ray.pipelines.demo_ontology import demo_ontology_spec
+    from pawpaw_ray.stages.ontology import ontology_mentions
+    return ontology_mentions(_docs(sf_dir, ["doc_id", "text"]),
+                             demo_ontology_spec())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # knowledge-graph pipeline (transcripts; rows-only checks)
@@ -447,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_extract": _q_xml_extract,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        # hierarchical ontology discovery (golden: reference engine)
+        "ontology_mentions": _q_ontology_mentions,
     }
 
 
@@ -688,4 +701,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _golden_sql("media_features"),
         "simhash": _golden_sql("simhash"),
         "ann_topk_lsh": _golden_sql("ann_topk_lsh"),
+        "ontology_mentions": _golden_sql("ontology_mentions"),
     }

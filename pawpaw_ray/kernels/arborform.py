@@ -490,6 +490,8 @@ def build_itor(spec: dict) -> Itor:
     compiled per worker process, not per batch)."""
     kind = spec["itor"]
     flags = rx.DOTALL if spec.get("dotall", True) else 0
+    if spec.get("ignorecase"):
+        flags |= rx.IGNORECASE
     if kind == "split":
         splitter = (build_itor(spec["of"]) if "of" in spec
                     else rx.compile(spec["re"], flags))

@@ -82,6 +82,10 @@ def stage_factory(f):
 def _register_builtins() -> None:
     from pawpaw_ray.stages.arborform import make_arborform_batch
     from pawpaw_ray.stages.dedup import simhash_batch
+    from pawpaw_ray.stages.ontology import (
+        make_ontology_discover_batch,
+        make_ontology_mentions_batch,
+    )
     from pawpaw_ray.stages.segment import segment_batch, segment_sentences_batch
     from pawpaw_ray.stages.select import make_select_batch
     from pawpaw_ray.stages.tables import extract_tables_batch, filter_tool_turns
@@ -94,6 +98,10 @@ def _register_builtins() -> None:
     from pawpaw_ray.stages.triples import triples_batch
 
     register_stage("arborform", stage_factory(make_arborform_batch))
+    register_stage("ontology_discover",
+                   stage_factory(make_ontology_discover_batch))
+    register_stage("ontology_mentions",
+                   stage_factory(make_ontology_mentions_batch))
     register_stage("segment", segment_batch)
     register_stage("segment_sentences", segment_sentences_batch)
     register_stage("triples", triples_batch)

@@ -580,6 +580,40 @@ def golden_ann_lsh(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
     _write(d, "ann_topk_lsh", df)
 
 
+# ---------------------------------------------------------------------------
+# ontology discovery: the REFERENCE Ontology engine over the demo concept
+# tree (true reference-implementation oracle, not a reimplementation)
+# ---------------------------------------------------------------------------
+
+def golden_ontology(d: str, docs: pd.DataFrame) -> None:
+    import pawpaw
+    import regex
+    from pawpaw.ontology import Ontology
+
+    from pawpaw_ray.pipelines.demo_ontology import DEMO_RULES
+
+    flags = regex.IGNORECASE | regex.DOTALL
+    root = Ontology()
+    for path, patterns in DEMO_RULES.items():
+        node = root
+        for p in path:
+            node = node.setdefault(p, Ontology())
+        node.rules.extend(pawpaw.arborform.Extract(regex.compile(p, flags))
+                          for p in patterns)
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if not text:
+            continue
+        disc = root.discover(pawpaw.Ito(text))
+        for path, itos in disc.flatten().items():
+            ps = "/".join(path)
+            rows.extend((doc_id, ps, i.start, i.stop, str(i)) for i in itos)
+    df = pd.DataFrame(rows,
+                      columns=["doc_id", "path", "start", "stop", "surface"])
+    _write(d, "ontology_mentions", df)
+
+
 def main() -> None:
     d = _out_dir()
     turns, catalog = _transcripts()
@@ -593,6 +627,7 @@ def main() -> None:
     golden_media(d)
     golden_simhash(d, docs)
     golden_ann_lsh(d)
+    golden_ontology(d, docs)
 
 
 if __name__ == "__main__":
