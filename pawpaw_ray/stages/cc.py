@@ -117,15 +117,59 @@ def _signature(edges_ds) -> tuple[int, int]:
     return (int(agg["sum(one)"]), int(agg["sum(h)"]))
 
 
+def _unionfind_star(g: pd.DataFrame) -> pd.DataFrame:
+    """One-task min-label union-find over a SMALL edge list → star edges
+    (node → component min), the same output shape the star rounds converge
+    to.  Runs inside a Ray task (size-gated by ``cc_labels``), never on the
+    driver."""
+    if not len(g):
+        return _EMPTY_EDGES
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(g["u"].to_numpy(np.int64), g["v"].to_numpy(np.int64)):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:  # min-label union
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    roots = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                        count=len(nodes))
+    keep = nodes != roots
+    return pd.DataFrame({"u": nodes[keep], "v": roots[keep]})
+
+
+# Below this many edges the graph collapses to ONE task doing union-find —
+# the star rounds' per-round fixed cost (two groupby shuffles + a
+# convergence aggregate) dominates small graphs.  At 100 TB the edge list
+# blows past this and takes the O(log n)-round distributed path; the
+# threshold only ever routes work that trivially fits one worker's heap
+# (~16 bytes/edge → ≤ ~32 MB).
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def cc_labels(pairs_ds, ids_ds, id_col: str = "doc_id",
               label_col: str = "cluster_id", n_buckets: int | None = None,
-              max_rounds: int = 32):
+              max_rounds: int = 32,
+              small_graph_edges: int = SMALL_GRAPH_EDGES):
     """Min-label connected components.
 
     ``pairs_ds``: Dataset with int64 columns ``a``, ``b`` (undirected edges,
     duplicates fine).  ``ids_ds``: Dataset holding ``id_col`` for EVERY node
     (isolated nodes become their own singleton cluster).  Returns a Dataset
     ``(id_col, label_col)`` where the label is the component's min node id.
+
+    Size-adaptive: small edge lists run one in-task union-find; large ones
+    run the large-star/small-star rounds (identical output, differentially
+    tested both ways).
     """
     import ray.data  # noqa: F401  (Dataset ops)
     from ray.data.aggregate import Min
@@ -138,7 +182,13 @@ def cc_labels(pairs_ds, ids_ds, id_col: str = "doc_id",
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
     prev = None
-    if edges.count() > 0:
+    n_edges = edges.count()
+    if 0 < n_edges <= small_graph_edges:
+        edges = (edges.repartition(1)
+                 .map_batches(_unionfind_star, batch_format="pandas",
+                              batch_size=None)
+                 .materialize())
+    elif n_edges > 0:
         for _ in range(max_rounds):
             large = (edges
                      .map_batches(lambda b: _symmetrize(b, n_buckets),
@@ -177,8 +227,8 @@ def cc_labels(pairs_ds, ids_ds, id_col: str = "doc_id",
 
 
 def cc_labels_pandas(pairs_ds, ids_ds, id_col: str = "doc_id",
-                     label_col: str = "cluster_id") -> pd.DataFrame:
+                     label_col: str = "cluster_id", **kw) -> pd.DataFrame:
     """Driver-convenience wrapper: distributed components, small pandas
     result sorted by id (the shape the driver queries return)."""
-    out = cc_labels(pairs_ds, ids_ds, id_col, label_col).to_pandas()
+    out = cc_labels(pairs_ds, ids_ds, id_col, label_col, **kw).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)

@@ -169,18 +169,64 @@ def _dedup_pairs(pairs_ds):
     return deduped.drop_columns(["_n"])
 
 
+# signature params are microseconds to build — a per-process cache makes the
+# stage a plain task pool (no actor spin-up), same once-per-worker state story
+_LSH_CACHE: dict[tuple, MinHashLSH] = {}
+
+
+def _lsh_signature_fn(num_perm: int, bands: int, k: int, id_col: str,
+                      text_col: str):
+    key = (num_perm, bands, k, id_col, text_col)
+
+    def signature_batch(batch: pa.Table) -> pa.Table:
+        inst = _LSH_CACHE.get(key)
+        if inst is None:
+            inst = _LSH_CACHE[key] = MinHashLSH(*key)
+        return inst(batch)
+
+    return signature_batch
+
+
+def _bucketize_band_hash(b: pa.Table, n_buckets: int) -> pa.Table:
+    """Route (band, band_hash) groups through a cluster-sized bucket column:
+    one shuffle partition per bucket instead of one tiny sort-group per LSH
+    bucket (thousands of groups of ~1-3 rows otherwise dominate wall time)."""
+    h = np.fromiter((zlib.crc32(s.encode()) % n_buckets
+                     for s in b["band_hash"].to_pylist()),
+                    dtype=np.int32, count=len(b))
+    return b.append_column("bucket", pa.array(h, pa.int32()))
+
+
+def _pairs_from_bucket_group(g: pd.DataFrame, all_pairs: bool) -> pd.DataFrame:
+    frames = [_pairs_from_bucket(sub, all_pairs)
+              for _, sub in g.groupby("band_hash", sort=False)]
+    if not frames:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
+    return pd.concat(frames, ignore_index=True)
+
+
 def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
-               text_col: str, concurrency, all_pairs: bool = False):
-    """documents → distinct LSH candidate-pair Dataset (a, b)."""
+               text_col: str, concurrency=None, all_pairs: bool = False,
+               distinct: bool = True):
+    """documents → LSH candidate-pair Dataset (a, b).
+
+    ``distinct=False`` skips the pair-dedup shuffle — correct whenever the
+    consumer tolerates duplicate edges (connected components does; pairwise
+    verification does not)."""
+    from pawpaw_ray.tuning import shuffle_buckets
+
+    n_buckets = shuffle_buckets()
     bands_ds = docs_ds.map_batches(
-        MinHashLSH, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k,
-            "id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = (bands_ds.groupby(["band", "band_hash"])
-             .map_groups(lambda g: _pairs_from_bucket(g, all_pairs),
+        _lsh_signature_fn(num_perm, bands, k, id_col, text_col),
+        batch_format="pyarrow")
+    pairs = (bands_ds
+             .map_batches(lambda b: _bucketize_band_hash(b, n_buckets),
+                          batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: _pairs_from_bucket_group(g, all_pairs),
                          batch_format="pandas"))
-    return _dedup_pairs(pairs)
+    return _dedup_pairs(pairs) if distinct else pairs
 
 
 def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
@@ -197,7 +243,7 @@ def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
     from pawpaw_ray.stages.cc import cc_labels_pandas
 
     pairs = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
-                       concurrency)
+                       concurrency, distinct=False)  # CC dedups edges itself
     return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)
 
 

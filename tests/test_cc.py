@@ -27,10 +27,15 @@ def _union_find_labels(pairs, ids):
     return {i: find(int(i)) for i in ids}
 
 
+@pytest.mark.parametrize("small_gate", [2_000_000, 0],
+                         ids=["unionfind-task", "star-rounds"])
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [
     (0, 30, 10), (1, 50, 60), (2, 200, 150), (3, 8, 0), (4, 40, 39),
 ])
-def test_cc_labels_matches_union_find(ray_session, seed, n_nodes, n_edges):
+def test_cc_labels_matches_union_find(ray_session, seed, n_nodes, n_edges,
+                                      small_gate):
+    """Both execution paths (size-gated one-task union-find and the
+    large/small-star rounds) must match the driver union-find oracle."""
     import ray.data as rd
 
     from pawpaw_ray.stages.cc import cc_labels_pandas
@@ -43,13 +48,16 @@ def test_cc_labels_matches_union_find(ray_session, seed, n_nodes, n_edges):
     pairs = pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     got = cc_labels_pandas(
-        rd.from_pandas(pairs), rd.from_pandas(pd.DataFrame({"doc_id": ids})))
+        rd.from_pandas(pairs), rd.from_pandas(pd.DataFrame({"doc_id": ids})),
+        small_graph_edges=small_gate)
     want = _union_find_labels(zip(pairs["a"], pairs["b"]), ids)
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
     assert len(got) == n_nodes
 
 
-def test_cc_long_chain(ray_session):
+@pytest.mark.parametrize("small_gate", [2_000_000, 0],
+                         ids=["unionfind-task", "star-rounds"])
+def test_cc_long_chain(ray_session, small_gate):
     """A path graph needs multiple contraction rounds — exercises the
     convergence loop, not just the one-round star case."""
     import ray.data as rd
@@ -60,7 +68,8 @@ def test_cc_long_chain(ray_session):
     pairs = pd.DataFrame({"a": np.arange(n - 1, dtype=np.int64),
                           "b": np.arange(1, n, dtype=np.int64)})
     ids = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
-    got = cc_labels_pandas(rd.from_pandas(pairs), rd.from_pandas(ids))
+    got = cc_labels_pandas(rd.from_pandas(pairs), rd.from_pandas(ids),
+                           small_graph_edges=small_gate)
     assert (got["cluster_id"] == 0).all()
 
 
