@@ -3,8 +3,14 @@
 Brute-force cosine top-k as the correctness baseline: the query matrix is
 broadcast (``ray.put`` once), every batch does one float64 matmul against
 it, emits per-batch partial top-k rows, and a final tiny reduce merges the
-partials.  The scale path (LSH-bucketed variant) reuses the same per-batch
-kernel inside hash buckets of a random-hyperplane signature.
+partials.  The scale path (LSH variants) fuses signature → probe-filter →
+scoring into the same single streaming pass.
+
+All stages are task pools with per-worker-process cached state (the state
+— plane matrices, query matrix, probe set — costs microseconds to
+milliseconds to build/deserialize, so actor pools would add spin-up
+latency for nothing; the cache keys on the broadcast ref so each worker
+process deserializes exactly once).
 """
 
 from __future__ import annotations
@@ -12,6 +18,16 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# per-worker-process broadcast-state cache (same pattern as stages/link.py)
+_STATE_CACHE: dict = {}
+
+
+def _cached_state(key, builder):
+    inst = _STATE_CACHE.get(key)
+    if inst is None:
+        inst = _STATE_CACHE[key] = builder()
+    return inst
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -30,8 +46,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class CosineTopK:
-    """Actor-pool callable: per-batch brute-force cosine scores against a
-    broadcast query matrix, emitting partial top-k candidate rows."""
+    """Per-batch brute-force cosine scores against a broadcast query
+    matrix, emitting partial top-k candidate rows."""
 
     def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id",
                  vec_col: str = "embedding"):
@@ -45,6 +61,10 @@ class CosineTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         M = _normalize(_to_matrix(batch[self.vec_col]))
         sims = M @ self.Q.T  # (n, q)
         k = min(self.k, len(ids))
@@ -62,37 +82,30 @@ class CosineTopK:
         })
 
 
-def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency=(1, 8)) -> pd.DataFrame:
-    """Exact cosine top-k of each query id against the whole table.
+def _make_cosine_topk_fn(qref, k: int, id_col: str, vec_col: str):
+    key = ("cosine_topk", qref.hex(), k, id_col, vec_col)
 
-    Returns (query_id, vec_id, sim, rank) with deterministic ordering
-    (sim desc, vec_id asc).  The query vectors are looked up first (tiny
-    filtered read), broadcast once, then one streaming pass scores all rows.
-    """
-    import ray
+    def cosine_topk_batch(batch: pa.Table) -> pa.Table:
+        inst = _cached_state(key, lambda: CosineTopK(qref, k, id_col, vec_col))
+        return inst(batch)
+
+    return cosine_topk_batch
+
+
+def _fetch_queries(embeddings_ds, query_ids, id_col, vec_col) -> np.ndarray:
+    """Tiny filtered scan for the query vectors, in query-id order."""
     import pyarrow.compute as pc
 
     id_set = pa.array(query_ids, pa.int64())
     qtab = (embeddings_ds
             .map_batches(lambda b: b.filter(pc.is_in(b[id_col], value_set=id_set)),
                          batch_format="pyarrow")
-            .to_pandas())
-    qtab = qtab.set_index(id_col).loc[list(query_ids)]
-    queries = {
-        "ids": list(query_ids),
-        "matrix": np.stack(qtab[vec_col].to_numpy()),
-    }
-    qref = ray.put(queries)
+            .to_pandas()
+            .set_index(id_col).loc[list(query_ids)])
+    return np.stack(qtab[vec_col].to_numpy()).astype(np.float64)
 
-    partials = embeddings_ds.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
-    ).to_pandas()
 
+def _merge_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     out = []
     for qid, g in partials.groupby("query_id", sort=True):
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
@@ -100,6 +113,26 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         out.append(g)
     return pd.concat(out, ignore_index=True)
+
+
+def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency=None) -> pd.DataFrame:
+    """Exact cosine top-k of each query id against the whole table.
+
+    Returns (query_id, vec_id, sim, rank) with deterministic ordering
+    (sim desc, vec_id asc).  The query vectors are looked up first (tiny
+    filtered read), broadcast once, then one streaming pass scores all rows.
+    """
+    import ray
+
+    Q = _fetch_queries(embeddings_ds, query_ids, id_col, vec_col)
+    qref = ray.put({"ids": list(query_ids), "matrix": Q})
+
+    partials = embeddings_ds.map_batches(
+        _make_cosine_topk_fn(qref, k, id_col, vec_col),
+        batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _merge_partials(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -115,28 +148,6 @@ def _signs_to_codes(signs: np.ndarray) -> np.ndarray:
     """(n, bits) bool → uint64 codes."""
     weights = (1 << np.arange(signs.shape[1], dtype=np.uint64))
     return (signs.astype(np.uint64) @ weights).astype(np.uint64)
-
-
-class HyperplaneSigner:
-    """Actor-pool stage: random-hyperplane signature per row.  The plane
-    matrix is derived from a seed in ``__init__`` — identical in every actor
-    with zero broadcast traffic."""
-
-    def __init__(self, n_bits: int = 16, dim: int = 64, seed: int = 11,
-                 vec_col: str = "embedding"):
-        self.H = _hyperplanes(n_bits, dim, seed)
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        M = _to_matrix(batch[self.vec_col])
-        codes = _signs_to_codes((M @ self.H.T) > 0)
-        return batch.append_column("lsh_code", pa.array(codes, pa.uint64()))
-
-
-def _sniff_dim(embeddings_ds, vec_col: str) -> int:
-    """Vector width from the first row (limit-pushdown read of one
-    row-group; callers that know the width pass ``dim=`` and skip this)."""
-    return len(embeddings_ds.take(1)[0][vec_col])
 
 
 def _probe_codes(q_codes: np.ndarray, n_bits: int, radius: int) -> np.ndarray:
@@ -159,10 +170,31 @@ def _probe_codes(q_codes: np.ndarray, n_bits: int, radius: int) -> np.ndarray:
     return np.unique(expanded)
 
 
+class _LshProbeScorer:
+    """Fused sign → probe-filter → score state: per batch, one matmul
+    against the plane matrix decides candidacy, the surviving rows get the
+    cosine scoring — a single streaming pass, nothing materialized."""
+
+    def __init__(self, state_ref, k: int, id_col: str, vec_col: str):
+        import ray
+        s = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.H = s["H"]
+        self.wanted = s["wanted"]  # sorted uint64 probe codes
+        self.scorer = CosineTopK({"ids": s["ids"], "matrix": s["matrix"]},
+                                 k, id_col, vec_col)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch[self.vec_col])
+        codes = _signs_to_codes((M @ self.H.T) > 0)
+        mask = np.isin(codes, self.wanted)
+        return self.scorer(batch.filter(pa.array(mask)))
+
+
 def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
                  n_bits: int = 8, probe_radius: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int | None = None, concurrency=(1, 8)) -> pd.DataFrame:
+                 dim: int | None = None, concurrency=None) -> pd.DataFrame:
     """Approximate top-k: score only rows whose hyperplane code lies within
     Hamming ``probe_radius`` of a query's code (multi-probe LSH).
 
@@ -171,77 +203,74 @@ def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
     for query A is eligible for query B's top-k too; with per-query balls
     the scan would repeat per query for strictly less recall).
 
-    Scale path: the signature pass is a streaming map; only the probed
-    buckets are scored.  Recall < 1 by construction — the brute-force
-    :func:`ann_topk` is the correctness baseline; tests/test_neardup gate
-    recall@k against it on the fixture embeddings.
+    Scale path: signature, probe filter and scoring are fused into one
+    streaming map over the table.  Recall < 1 by construction — the
+    brute-force :func:`ann_topk` is the correctness baseline;
+    tests/test_neardup gate recall@k against it on fixture embeddings.
     """
-    import pyarrow.compute as pc
     import ray
 
-    dim = dim or _sniff_dim(embeddings_ds, vec_col)
+    Q = _fetch_queries(embeddings_ds, query_ids, id_col, vec_col)
+    dim = dim or Q.shape[1]
     H = _hyperplanes(n_bits, dim)
-
-    id_set = pa.array(query_ids, pa.int64())
-    qtab = (embeddings_ds
-            .map_batches(lambda b: b.filter(pc.is_in(b[id_col], value_set=id_set)),
-                         batch_format="pyarrow")
-            .to_pandas()
-            .set_index(id_col).loc[list(query_ids)])
-    Q = np.stack(qtab[vec_col].to_numpy()).astype(np.float64)
     q_codes = _signs_to_codes((Q @ H.T) > 0)
-    wanted = pa.array(_probe_codes(q_codes, n_bits, probe_radius), pa.uint64())
+    wanted = _probe_codes(q_codes, n_bits, probe_radius)
 
-    signed = embeddings_ds.map_batches(
-        HyperplaneSigner,
-        fn_constructor_kwargs={"n_bits": n_bits, "dim": dim, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    candidates = signed.map_batches(
-        lambda b: b.filter(pc.is_in(b["lsh_code"], value_set=wanted)),
-        batch_format="pyarrow")
+    sref = ray.put({"ids": list(query_ids), "matrix": Q, "H": H,
+                    "wanted": wanted})
+    key = ("lsh_probe", sref.hex(), k, id_col, vec_col)
 
-    qref = ray.put({"ids": list(query_ids), "matrix": Q})
-    partials = candidates.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
-    ).to_pandas()
+    def probe_score_batch(batch: pa.Table) -> pa.Table:
+        inst = _cached_state(
+            key, lambda: _LshProbeScorer(sref, k, id_col, vec_col))
+        return inst(batch)
 
+    partials = embeddings_ds.map_batches(
+        probe_score_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
+
+    out = _merge_partials(partials, k)
     code_of = dict(zip(query_ids, q_codes.tolist()))
-    out = []
-    for qid, g in partials.groupby("query_id", sort=True):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["lsh_code"] = np.uint64(code_of[qid])
-        out.append(g)
-    return pd.concat(out, ignore_index=True)
+    out["lsh_code"] = np.asarray([code_of[q] for q in out["query_id"]],
+                                 dtype=np.uint64)
+    return out
 
 
 class MultiTableSigner:
-    """Actor-pool stage: L independent hyperplane signatures per row — one
-    output row per (table, code).  Multiple tables are the standard recall
-    fix for cosine LSH (P[pair shares >=1 table] = 1-(1-p^bits)^L); the
-    plane tensor is seed-derived in ``__init__``, zero broadcast traffic."""
+    """L independent hyperplane signatures per row — one output row per
+    (table, code).  Multiple tables are the standard recall fix for cosine
+    LSH (P[pair shares >=1 table] = 1-(1-p^bits)^L).  The plane tensor is
+    derived from the seed on the first batch (dim read off the data — no
+    separate dim-sniffing pass) and identical in every worker."""
 
-    def __init__(self, n_bits: int, dim: int, n_tables: int = 8,
-                 seed: int = 11, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
-        rng = np.random.RandomState(seed)
-        self.H = rng.standard_normal((n_tables, n_bits, dim))
+    def __init__(self, n_bits: int, n_tables: int = 8, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_buckets: int = 64):
+        self.n_bits = n_bits
         self.n_tables = n_tables
+        self.seed = seed
+        self.H: np.ndarray | None = None
         self.id_col = id_col
         self.vec_col = vec_col
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _to_matrix(batch[self.vec_col])
+        if self.H is None:
+            rng = np.random.RandomState(self.seed)
+            self.H = rng.standard_normal(
+                (self.n_tables, self.n_bits, M.shape[1]))
         n = len(M)
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         codes = np.empty((self.n_tables, n), dtype=np.uint64)
         for t in range(self.n_tables):
             codes[t] = _signs_to_codes((M @ self.H[t].T) > 0)
         table_ids = np.repeat(np.arange(self.n_tables, dtype=np.int32), n)
+        flat_codes = codes.reshape(-1)
+        # cluster-sized shuffle bucket over (table, code): one partition per
+        # bucket instead of one tiny sort-group per distinct code
+        bucket = ((flat_codes ^ (table_ids.astype(np.uint64)
+                                 * np.uint64(0x9E3779B97F4A7C15)))
+                  % np.uint64(self.n_buckets)).astype(np.int32)
         vecs = batch[self.vec_col]
         if isinstance(vecs, pa.ChunkedArray):
             vecs = vecs.combine_chunks()
@@ -249,7 +278,8 @@ class MultiTableSigner:
         return pa.table({
             self.id_col: pa.array(np.tile(ids, self.n_tables), pa.int64()),
             "lsh_table": pa.array(table_ids, pa.int32()),
-            "lsh_code": pa.array(codes.reshape(-1), pa.uint64()),
+            "lsh_code": pa.array(flat_codes, pa.uint64()),
+            "bucket": pa.array(bucket, pa.int32()),
             self.vec_col: vec_rep,
         })
 
@@ -258,43 +288,54 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
                        n_bits: int = 10, n_tables: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        dim: int | None = None,
-                       concurrency=(1, 8)) -> pd.DataFrame:
+                       concurrency=None) -> pd.DataFrame:
     """Embedding-cosine near-duplicate clusters.
 
     L-table hyperplane-LSH bucket groupby → exact pairwise cosine INSIDE
-    each bucket (vectorized matmul per group) → distributed min-label
-    connected components (:mod:`pawpaw_ray.stages.cc`).  Only
-    (id, table, code, vec) rows move through the shuffle; pairs above
-    ``threshold`` are a tiny output and duplicates across tables collapse
-    in one small aggregate.  ``n_tables`` trades shuffle volume for recall
-    (single-table single-probe recall was the round-1 weak spot).
+    each (table, code) group (vectorized matmul) → distributed min-label
+    connected components (:mod:`pawpaw_ray.stages.cc`).  The shuffle
+    routes through a cluster-sized bucket column; only (id, table, code,
+    vec) rows move, and pairs above ``threshold`` are a tiny output whose
+    cross-table duplicates collapse in one small aggregate before CC.
+    ``n_tables`` trades shuffle volume for recall (single-table
+    single-probe recall was the round-1 weak spot).
     """
     from pawpaw_ray.stages.cc import cc_labels_pandas
     from pawpaw_ray.stages.dedup import _dedup_pairs
+    from pawpaw_ray.tuning import shuffle_buckets
 
-    signed = embeddings_ds.map_batches(
-        MultiTableSigner,
-        fn_constructor_kwargs={
-            "n_bits": n_bits, "dim": dim or _sniff_dim(embeddings_ds, vec_col),
-            "n_tables": n_tables, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    signer_kwargs = {"n_bits": n_bits, "n_tables": n_tables,
+                     "id_col": id_col, "vec_col": vec_col,
+                     "n_buckets": shuffle_buckets()}
+    key = ("mt_signer", *sorted(signer_kwargs.items()))
+
+    def sign_batch(batch: pa.Table) -> pa.Table:
+        inst = _cached_state(key, lambda: MultiTableSigner(**signer_kwargs))
+        return inst(batch)
+
+    signed = embeddings_ds.map_batches(sign_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col)
-        if len(g) < 2:
+        frames = []
+        for _, sub in g.groupby(["lsh_table", "lsh_code"], sort=False):
+            sub = sub.drop_duplicates(id_col)
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy(np.int64)
+            M = _normalize(np.stack(sub[vec_col].to_numpy()).astype(np.float64))
+            S = M @ M.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = S[iu, ju] >= threshold
+            frames.append(pd.DataFrame(
+                {"a": np.minimum(ids[iu[hit]], ids[ju[hit]]),
+                 "b": np.maximum(ids[iu[hit]], ids[ju[hit]])}))
+        if not frames:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
-        ids = g[id_col].to_numpy(np.int64)
-        M = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        S = M @ M.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = S[iu, ju] >= threshold
-        return pd.DataFrame({"a": np.minimum(ids[iu[hit]], ids[ju[hit]]),
-                             "b": np.maximum(ids[iu[hit]], ids[ju[hit]])})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = _dedup_pairs(
-        signed.groupby(["lsh_table", "lsh_code"])
-        .map_groups(bucket_pairs, batch_format="pandas"))
-    out = cc_labels_pandas(pairs, embeddings_ds.select_columns([id_col]),
-                           id_col)
-    return out
+        signed.groupby("bucket").map_groups(bucket_pairs,
+                                            batch_format="pandas"))
+    return cc_labels_pandas(pairs, embeddings_ds.select_columns([id_col]),
+                            id_col)
