@@ -67,9 +67,11 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
                  "events_sessions", "ann_topk", "ann_topk_lsh", "simhash",
-                 "minhash_dedup", "segment_stats", "plumule_select",
+                 "minhash_dedup", "near_dup_jaccard", "simhash_clusters",
+                 "embedding_near_dup", "segment_stats", "plumule_select",
                  "q1_pricing", "top_customers", "region_revenue",
-                 "table_extract", "media_features", "xml_extract")
+                 "table_extract", "media_features", "xml_extract",
+                 "langid", "fingerprint", "ontology_mentions")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

@@ -351,23 +351,33 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
     pigeonhole), bucket-groupby per band, verify Hamming ≤ ``max_hamming``
     inside buckets, then min-label clusters."""
 
+    from pawpaw_ray.stages.cc import cc_labels_pandas
+    from pawpaw_ray.tuning import shuffle_buckets
+
+    n_buckets = shuffle_buckets()
+
     def sig_batch(b: pa.Table) -> pa.Table:
-        sigs = [simhash64(t) for t in b[text_col].to_pylist()]
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for i, s in enumerate(sigs):
-            for band in range(4):
-                out_id.append(b[id_col][i].as_py())
-                out_band.append(band)
-                out_key.append((s >> (band * 16)) & 0xFFFF)
-                out_sig.append(s)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        sigs = np.fromiter((simhash64(t) for t in b[text_col].to_pylist()),
+                           dtype=np.uint64, count=len(ids))
+        bands = np.tile(np.arange(4, dtype=np.int32), len(ids))
+        rep_sigs = np.repeat(sigs, 4)
+        keys = (rep_sigs >> (bands.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        # cluster-sized shuffle bucket over (band, band_key): one partition
+        # per bucket instead of one tiny sort-group per distinct band key
+        bucket = ((keys * np.uint64(0x9E3779B97F4A7C15)
+                   + bands.astype(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int32)
         return pa.table({
-            id_col: pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.uint64()),
-            "simhash64": pa.array(out_sig, pa.uint64()),
+            id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys, pa.uint64()),
+            "bucket": pa.array(bucket, pa.int32()),
+            "simhash64": pa.array(rep_sigs, pa.uint64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
@@ -383,10 +393,15 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
         return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
                              "b": pd.Series(out_b, dtype=np.int64)})
 
-    from pawpaw_ray.stages.cc import cc_labels_pandas
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [band_pairs(sub)
+                  for _, sub in g.groupby(["band", "band_key"], sort=False)]
+        if not frames:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = _dedup_pairs(
-        docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = (docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
     return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)
