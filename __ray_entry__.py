@@ -680,6 +680,8 @@ def oracle_sql() -> dict[str, str]:
             "      FROM s) "
             f"SELECT query_id, vec_id, rank FROM r WHERE rank <= {ANN_K}",
         # --- direct-SQL oracles (round 2) --------------------------------
+        # NOTE lower()+'\s' vs the kernel's casefold()+str.split(): equal on
+        # the ASCII fixtures, not on Unicode (documented in textstats.py)
         "fingerprint":
             "SELECT doc_id, sha256(lower(trim(regexp_replace("
             r"text, '\s+', ' ', 'g')))) AS content_sha256 FROM documents",

@@ -130,7 +130,12 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 
     def med(rs, k):
         vals = sorted(r[k] for r in rs)
-        return vals[len(vals) // 2]
+        n = len(vals)
+        # true median: with an even count, vals[n//2] would pick the upper
+        # element — best-case for throughput but worst-case for seconds,
+        # an inconsistent (and flattering) estimator
+        return (vals[n // 2] if n % 2
+                else round((vals[n // 2 - 1] + vals[n // 2]) / 2, 3))
 
     tput_lo, tput_hi = med(runs_lo, "turns_per_sec"), med(runs_hi, "turns_per_sec")
     eff = (tput_hi / tput_lo) / (hi / lo)

@@ -160,12 +160,15 @@ def get_prefix_map(text: str, nodes, el_idx: int) -> dict[str, str]:
 
 def get_default_namespace(text: str, nodes, el_idx: int) -> str | None:
     """Nearest in-scope default ``xmlns`` as ``{uri}``, walking ancestors
-    (``xml_helper.py:137-145``)."""
+    (``xml_helper.py:137-145``).  ``xmlns=""`` UN-declares the default
+    namespace (XML-names §6.2): the nearest declaration wins, and an empty
+    one means None."""
     cur: int | None = el_idx
     while cur is not None:
         for qn, val in get_xmlns(text, nodes, cur).items():
             if qn.prefix is None:
-                return "{" + text[slice(*val)] + "}"
+                uri = text[slice(*val)]
+                return "{" + uri + "}" if uri else None
         cur = parent_element(nodes, cur)
     return None
 

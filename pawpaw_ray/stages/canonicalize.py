@@ -169,6 +169,11 @@ def dedup_triples(triples_keyed_ds, n_buckets: int | None = None):
     """Canonical triples: unresolved-pronoun rows (null subj_key) are
     excluded from the canonical graph; the rest dedup exactly on
     (subj_key, pred, obj_key)."""
+    # resolve the fan-out ON THE DRIVER: shipping None would make each
+    # worker call shuffle_buckets() per batch — an RPC per batch, and on an
+    # autoscaling cluster two batches could disagree on the bucket count,
+    # splitting identical triple keys across tbucket groups
+    n_buckets = n_buckets or _default_buckets()
     bucketed = triples_keyed_ds.map_batches(
         lambda b: add_triple_bucket(b, n_buckets), batch_format="pyarrow")
     return (bucketed.groupby("tbucket")

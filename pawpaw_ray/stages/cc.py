@@ -17,8 +17,6 @@ against a driver union-find in tests/test_cc.py).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -30,12 +28,13 @@ _EMPTY_EDGES = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
 
 
 def _bucket_col(vals: np.ndarray, n_buckets: int) -> pa.Array:
-    # cheap integer hash → bucket; crc32 of the 8 little-endian bytes keeps
-    # sequential ids from all landing in one reduce partition
-    b = np.fromiter(
-        (zlib.crc32(int(v).to_bytes(8, "little", signed=True)) % n_buckets
-         for v in vals), dtype=np.int32, count=len(vals))
-    return pa.array(b, pa.int32())
+    # vectorized 64-bit mix → bucket (murmur3 finalizer): keeps sequential
+    # ids from landing in one reduce partition without per-element Python —
+    # this runs twice per star round over the whole edge list
+    v = np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64)
+    v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    v = v ^ (v >> np.uint64(33))
+    return pa.array((v % np.uint64(n_buckets)).astype(np.int32), pa.int32())
 
 
 def _large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:

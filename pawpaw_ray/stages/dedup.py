@@ -144,19 +144,30 @@ def _pairs_from_bucket(g: pd.DataFrame, all_pairs: bool = False,
     clustering of the *unverified* bucket graph.  ``all_pairs=True`` emits
     every in-bucket pair: required when pairs are then individually
     VERIFIED (a failed star edge must not disconnect a genuine pair among
-    the remaining members).  Buckets larger than ``max_all_pairs`` fall back
-    to star pairs with the bucket's exact-duplicate structure intact
-    (giant LSH buckets are near-identical text in practice; the quadratic
-    blowup is the greater evil at scale — logged via the returned shape).
+    the remaining members).  Buckets larger than ``max_all_pairs`` fall
+    back to MULTI-hub stars (the h smallest ids each paired with every
+    member, h sized so the emitted pairs never exceed the all-pairs cost
+    at the threshold): a genuine pair disconnects only if ALL h hubs fail
+    verification against both sides — the quadratic blowup is the greater
+    evil at scale, and giant LSH buckets are near-identical text in
+    practice, so any hub connects the survivors.
     """
     ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
+    n = len(ids)
+    if n < 2:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64)})
-    if all_pairs and len(ids) <= max_all_pairs:
-        iu, ju = np.triu_indices(len(ids), k=1)
+    if all_pairs and n <= max_all_pairs:
+        iu, ju = np.triu_indices(n, k=1)
         return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-    return pd.DataFrame({"a": np.repeat(ids[0], len(ids) - 1), "b": ids[1:]})
+    n_hubs = (max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
+              if all_pairs else 1)
+    hub_a, hub_b = [], []
+    for h in range(n_hubs):
+        hub_a.append(np.repeat(ids[h], n - h - 1))
+        hub_b.append(ids[h + 1:])
+    return pd.DataFrame({"a": np.concatenate(hub_a),
+                         "b": np.concatenate(hub_b)})
 
 
 def _dedup_pairs(pairs_ds):
@@ -207,7 +218,7 @@ def _pairs_from_bucket_group(g: pd.DataFrame, all_pairs: bool) -> pd.DataFrame:
 
 
 def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
-               text_col: str, concurrency=None, all_pairs: bool = False,
+               text_col: str, all_pairs: bool = False,
                distinct: bool = True):
     """documents → LSH candidate-pair Dataset (a, b).
 
@@ -231,7 +242,7 @@ def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
 
 def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
                      id_col: str = "doc_id", text_col: str = "text",
-                     concurrency=(1, 8)) -> pd.DataFrame:
+                     ) -> pd.DataFrame:
     """MinHash-LSH near-dup clustering.
 
     Returns a pandas DataFrame ``(doc_id, cluster_id)`` where cluster_id is
@@ -243,7 +254,7 @@ def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
     from pawpaw_ray.stages.cc import cc_labels_pandas
 
     pairs = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
-                       concurrency, distinct=False)  # CC dedups edges itself
+                       distinct=False)  # CC dedups edges itself
     return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)
 
 
@@ -292,7 +303,7 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
                      bands: int = 8, k: int = 3, id_col: str = "doc_id",
-                     text_col: str = "text", concurrency=(1, 8)) -> pd.DataFrame:
+                     text_col: str = "text") -> pd.DataFrame:
     """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard ≥ threshold.
 
     The LSH pass bounds candidate pairs; because each pair is then verified
@@ -311,7 +322,7 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
     from pawpaw_ray.stages.cc import cc_labels_pandas
 
     pairs_ds = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
-                          concurrency, all_pairs=True).materialize()
+                          all_pairs=True).materialize()
     ids_ds = docs_ds.select_columns([id_col])
 
     # texts of candidate docs only: tiny filtered pull, broadcast once

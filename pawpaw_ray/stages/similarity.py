@@ -19,13 +19,18 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-# per-worker-process broadcast-state cache (same pattern as stages/link.py)
+# per-worker-process broadcast-state cache (same pattern as stages/link.py).
+# Keys embed one-shot ObjectRef ids, so old entries can never hit again —
+# bound the dict or every query leaks a dead matrix in every worker.
 _STATE_CACHE: dict = {}
+_STATE_CACHE_MAX = 4
 
 
 def _cached_state(key, builder):
     inst = _STATE_CACHE.get(key)
     if inst is None:
+        while len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
         inst = _STATE_CACHE[key] = builder()
     return inst
 
@@ -116,8 +121,8 @@ def _merge_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
 
 
 def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency=None) -> pd.DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> pd.DataFrame:
     """Exact cosine top-k of each query id against the whole table.
 
     Returns (query_id, vec_id, sim, rank) with deterministic ordering
@@ -194,7 +199,7 @@ class _LshProbeScorer:
 def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
                  n_bits: int = 8, probe_radius: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int | None = None, concurrency=None) -> pd.DataFrame:
+                 dim: int | None = None) -> pd.DataFrame:
     """Approximate top-k: score only rows whose hyperplane code lies within
     Hamming ``probe_radius`` of a query's code (multi-probe LSH).
 
@@ -287,8 +292,7 @@ class MultiTableSigner:
 def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
                        n_bits: int = 10, n_tables: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int | None = None,
-                       concurrency=None) -> pd.DataFrame:
+                       dim: int | None = None) -> pd.DataFrame:
     """Embedding-cosine near-duplicate clusters.
 
     L-table hyperplane-LSH bucket groupby → exact pairwise cosine INSIDE

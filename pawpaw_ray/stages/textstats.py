@@ -71,7 +71,12 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprints: sha1 of the normalized text (exact-dup key) and
-    a 64-bit rolling-window min-hash style fingerprint."""
+    a 64-bit rolling-window min-hash style fingerprint.
+
+    Normalization is ``str.split()`` + ``casefold()``; the DuckDB oracle
+    approximates it with regex ``\\s`` + ``lower()`` — identical on ASCII
+    (the synthetic fixtures), divergent on e.g. 'ß' or U+00A0.  The kernel
+    is the semantics; the SQL is the ASCII-fixture check."""
     sha, sha256, rolling = [], [], []
     for text in batch[text_col].to_pylist():
         norm = " ".join((text or "").split()).casefold()

@@ -198,3 +198,30 @@ def test_exact_dedup_keys_only_shuffle(ray_session):
     out = exact_dedup(rd.from_pandas(df).repartition(3)).to_pandas()
     got = dict(zip(out["doc_id"], out["n_copies"]))
     assert got == {1: 3, 3: 1, 5: 1}
+
+
+def test_pairs_from_bucket_multihub_fallback():
+    """Oversized verified buckets fall back to multi-hub stars: bounded by
+    the all-pairs cost at the threshold, and a single bad hub no longer
+    disconnects the remainder (round-2 review finding)."""
+    from pawpaw_ray.stages.dedup import _pairs_from_bucket
+
+    n, cap = 40, 8  # n > max_all_pairs triggers the fallback
+    g = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    out = _pairs_from_bucket(g, all_pairs=True, max_all_pairs=cap)
+    n_hubs = max(1, min(n - 1, cap * cap // (2 * n)))
+    assert n_hubs == 1 or n_hubs > 1  # formula exercised
+    # every emitted pair involves one of the first n_hubs ids
+    assert set(out["a"]) <= set(range(n_hubs))
+    # cost bound: never more pairs than threshold all-pairs
+    assert len(out) <= cap * (cap - 1) // 2 + n
+    # with a larger cap, multiple hubs appear
+    out2 = _pairs_from_bucket(g, all_pairs=True, max_all_pairs=20)
+    hubs2 = 20 * 20 // (2 * n)
+    assert set(out2["a"]) == set(range(hubs2)) and hubs2 == 5
+    # hub h pairs with everything after it
+    for h in range(hubs2):
+        assert set(out2[out2["a"] == h]["b"]) == set(range(h + 1, n))
+    # unverified path unchanged: single star
+    star = _pairs_from_bucket(g, all_pairs=False, max_all_pairs=cap)
+    assert set(star["a"]) == {0} and len(star) == n - 1

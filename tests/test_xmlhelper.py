@@ -74,7 +74,12 @@ BOOKS_XML = '''
 NESTED_NS_XML = ('<a xmlns="http://outer.example"><b xmlns="http://inner.example">'
                  '<c/></b><d/></a>')
 
-SAMPLES = [COUNTRY_XML, ACTORS_XML, BOOKS_XML, NESTED_NS_XML]
+# xmlns="" UN-declares the default namespace (XML-names spec §6.2)
+UNDECLARE_NS_XML = ('<a xmlns="http://u.example"><b xmlns=""><c/></b>'
+                    '<d/></a>')
+
+SAMPLES = [COUNTRY_XML, ACTORS_XML, BOOKS_XML, NESTED_NS_XML,
+           UNDECLARE_NS_XML]
 
 
 @pytest.mark.parametrize("doc", SAMPLES)
@@ -121,6 +126,16 @@ def test_prefix_maps_reference_expectations():
                      (c, "{http://inner.example}"),
                      (d, "{http://outer.example}")]:
         assert xh.get_default_namespace(NESTED_NS_XML, nodes, el) == want
+
+    # un-declaration: inside xmlns="" the default namespace is None again
+    nodes = parse_xml_spans(UNDECLARE_NS_XML)
+    a, b, c, d = xh.element_indices(nodes)
+    assert xh.get_default_namespace(UNDECLARE_NS_XML, nodes, a) \
+        == "{http://u.example}"
+    assert xh.get_default_namespace(UNDECLARE_NS_XML, nodes, b) is None
+    assert xh.get_default_namespace(UNDECLARE_NS_XML, nodes, c) is None
+    assert xh.resolve_tag(UNDECLARE_NS_XML, nodes, c) == "c"
+    assert xh.resolve_tag(UNDECLARE_NS_XML, nodes, d) == "{http://u.example}d"
 
 
 def test_qualified_name_and_clark_helpers():
