@@ -209,6 +209,10 @@ def _bucketize_band_hash(b: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def _pairs_from_bucket_group(g: pd.DataFrame, all_pairs: bool) -> pd.DataFrame:
+    # almost all band hashes are singletons; dropping them BEFORE the
+    # per-group loop removes ~95% of the per-group pandas overhead (the
+    # loop cost, not the shuffle, dominated this stage)
+    g = g[g.duplicated("band_hash", keep=False)]
     frames = [_pairs_from_bucket(sub, all_pairs)
               for _, sub in g.groupby("band_hash", sort=False)]
     if not frames:
@@ -217,9 +221,25 @@ def _pairs_from_bucket_group(g: pd.DataFrame, all_pairs: bool) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+# Below this many (doc, band) rows the pair generation collapses to ONE
+# task (pandas groupby over the whole band table, dedup in the same task):
+# the distributed sort-groupby costs seconds of fixed shuffle overhead that
+# dwarfs small inputs.  Same size-adaptive principle as stages/cc.py —
+# 100 TB inputs blow past this and take the bucketed-shuffle path; the
+# gate only routes work that trivially fits one worker (~40 B/row → ≤80 MB).
+SMALL_BAND_ROWS = 2_000_000
+
+
+def _pairs_single_task(g: pd.DataFrame, all_pairs: bool,
+                       distinct: bool) -> pd.DataFrame:
+    out = _pairs_from_bucket_group(g, all_pairs)
+    return out.drop_duplicates() if distinct else out
+
+
 def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
                text_col: str, all_pairs: bool = False,
-               distinct: bool = True):
+               distinct: bool = True,
+               small_band_rows: int = SMALL_BAND_ROWS):
     """documents → LSH candidate-pair Dataset (a, b).
 
     ``distinct=False`` skips the pair-dedup shuffle — correct whenever the
@@ -227,10 +247,17 @@ def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
     verification does not)."""
     from pawpaw_ray.tuning import shuffle_buckets
 
-    n_buckets = shuffle_buckets()
     bands_ds = docs_ds.map_batches(
         _lsh_signature_fn(num_perm, bands, k, id_col, text_col),
         batch_format="pyarrow")
+    # parquet metadata makes count() cheap; bands multiplies it
+    n_rows = docs_ds.count() * bands
+    if n_rows <= small_band_rows:
+        return (bands_ds.repartition(1)
+                .map_batches(lambda g: _pairs_single_task(g, all_pairs,
+                                                          distinct),
+                             batch_format="pandas", batch_size=None))
+    n_buckets = shuffle_buckets()
     pairs = (bands_ds
              .map_batches(lambda b: _bucketize_band_hash(b, n_buckets),
                           batch_format="pyarrow")
@@ -405,6 +432,7 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
                              "b": pd.Series(out_b, dtype=np.int64)})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["band", "band_key"], keep=False)]  # collisions only
         frames = [band_pairs(sub)
                   for _, sub in g.groupby(["band", "band_key"], sort=False)]
         if not frames:
@@ -412,7 +440,11 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
                                  "b": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
-    pairs = (docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    if docs_ds.count() * 4 <= SMALL_BAND_ROWS:  # size gate, cf. _lsh_pairs
+        pairs = sigs.repartition(1).map_batches(
+            bucket_pairs, batch_format="pandas", batch_size=None)
+    else:
+        pairs = (sigs.groupby("bucket")
+                 .map_groups(bucket_pairs, batch_format="pandas"))
     return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)

@@ -320,6 +320,8 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
     signed = embeddings_ds.map_batches(sign_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton codes can't pair — drop before the per-group loop
+        g = g[g.duplicated(["lsh_table", "lsh_code"], keep=False)]
         frames = []
         for _, sub in g.groupby(["lsh_table", "lsh_code"], sort=False):
             sub = sub.drop_duplicates(id_col)
@@ -338,8 +340,17 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
                                  "b": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
-    pairs = _dedup_pairs(
-        signed.groupby("bucket").map_groups(bucket_pairs,
-                                            batch_format="pandas"))
+    from pawpaw_ray.stages.dedup import SMALL_BAND_ROWS
+
+    if embeddings_ds.count() * n_tables <= SMALL_BAND_ROWS // 8:
+        # size gate (cf. dedup._lsh_pairs; rows carry the vec column, so
+        # the one-task threshold is 8x tighter): pair + dedup in one task
+        pairs = signed.repartition(1).map_batches(
+            lambda g: bucket_pairs(g).drop_duplicates(),
+            batch_format="pandas", batch_size=None)
+    else:
+        pairs = _dedup_pairs(
+            signed.groupby("bucket").map_groups(bucket_pairs,
+                                                batch_format="pandas"))
     return cc_labels_pandas(pairs, embeddings_ds.select_columns([id_col]),
                             id_col)

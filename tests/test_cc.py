@@ -225,3 +225,43 @@ def test_pairs_from_bucket_multihub_fallback():
     # unverified path unchanged: single star
     star = _pairs_from_bucket(g, all_pairs=False, max_all_pairs=cap)
     assert set(star["a"]) == {0} and len(star) == n - 1
+
+
+def test_lsh_pairs_both_paths_agree(ray_session):
+    """The size-gated one-task pair generation and the distributed
+    bucketed-groupby path must emit the same pair set."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.dedup import _lsh_pairs
+
+    texts = [f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7}"
+             for i in range(40)]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(40, dtype=np.int64), "text": texts}))
+
+    def pairset(**kw):
+        df = _lsh_pairs(docs, 64, 8, 3, "doc_id", "text", **kw).to_pandas()
+        return set(zip(df["a"], df["b"]))
+
+    for all_pairs in (False, True):
+        small = pairset(all_pairs=all_pairs, distinct=True,
+                        small_band_rows=10**9)
+        dist = pairset(all_pairs=all_pairs, distinct=True, small_band_rows=0)
+        assert small == dist and len(small) > 10, all_pairs
+
+
+def test_simhash_clusters_distributed_path(ray_session, monkeypatch):
+    """simhash_clusters with the size gate disabled (distributed bucketed
+    groupby) matches the one-task path."""
+    import ray.data as rd
+
+    import pawpaw_ray.stages.dedup as dd
+
+    texts = ([f"common words shared by near dups variant{i % 3}"
+              for i in range(12)] + ["totally different content here"])
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(13, dtype=np.int64), "text": texts}))
+    small = dd.simhash_clusters(docs, max_hamming=3)
+    monkeypatch.setattr(dd, "SMALL_BAND_ROWS", 0)
+    dist = dd.simhash_clusters(docs, max_hamming=3)
+    assert small.equals(dist) and small["cluster_id"].nunique() < 13
