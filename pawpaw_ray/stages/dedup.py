@@ -328,37 +328,18 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
-                     bands: int = 8, k: int = 3, id_col: str = "doc_id",
-                     text_col: str = "text") -> pd.DataFrame:
-    """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard ≥ threshold.
+# Above this many candidate docs, verification stops broadcasting a
+# text dict (driver memory!) and joins texts onto the pair list with the
+# native hash join instead — the 100 TB path.
+BROADCAST_CAND_DOCS = 100_000
 
-    The LSH pass bounds candidate pairs; because each pair is then verified
-    individually, buckets emit ALL in-bucket pairs (a star-only emission
-    would silently disconnect b∼c whenever the bucket's min-id doc a fails
-    verification against both).  Verification fetches only the candidate
-    documents' texts (filtered read, broadcast once, cached per worker
-    process) and runs the set-overlap kernel distributed over the pair
-    list; components are labelled distributed (:mod:`pawpaw_ray.stages.cc`).
-    Output: (doc_id, cluster_id) like :func:`minhash_clusters`, but without
-    LSH false positives.
-    """
+
+def _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids, threshold, k,
+                            id_col, text_col):
+    """Small candidate set: filtered pull → broadcast dict → one map."""
     import pyarrow.compute as pc
     import ray
 
-    from pawpaw_ray.stages.cc import cc_labels_pandas
-
-    pairs_ds = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
-                          all_pairs=True).materialize()
-    ids_ds = docs_ds.select_columns([id_col])
-
-    # texts of candidate docs only: tiny filtered pull, broadcast once
-    pairs_ids = pairs_ds.to_pandas() if pairs_ds.count() else pd.DataFrame(
-        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-    if not len(pairs_ids):
-        return cc_labels_pandas(pairs_ds, ids_ds, id_col)
-    cand_ids = pa.array(np.unique(np.concatenate(
-        [pairs_ids["a"].to_numpy(np.int64), pairs_ids["b"].to_numpy(np.int64)])))
     cand = (docs_ds.map_batches(
                 lambda b: b.filter(pc.is_in(b[id_col], value_set=cand_ids)),
                 batch_format="pyarrow")
@@ -370,11 +351,98 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
         lut = cached_get(texts_ref)
         aa = b["a"].to_pylist()
         bb = b["b"].to_pylist()
-        sims = [jaccard(lut.get(x, ""), lut.get(y, ""), k) for x, y in zip(aa, bb)]
+        sims = [jaccard(lut.get(x, ""), lut.get(y, ""), k)
+                for x, y in zip(aa, bb)]
         keep = pa.array([s >= threshold for s in sims], pa.bool_())
-        return b.append_column("jaccard", pa.array(sims, pa.float64())).filter(keep)
+        return b.append_column("jaccard",
+                               pa.array(sims, pa.float64())).filter(keep)
 
-    verified = pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_pairs_join(pairs_ds, docs_ds, threshold, k, id_col, text_col):
+    """Large candidate set: two hash joins ship each side's text to its
+    pair rows (nothing on the driver), then the same per-pair kernel."""
+    import ray
+
+    from pawpaw_ray.tuning import shuffle_buckets
+
+    # each JoinOperator holds num_partitions aggregator actors; cap by the
+    # cluster CPUs and materialize between the joins so only ONE join's
+    # actor pool is alive at a time (two live pools can deadlock a small
+    # cluster; at scale the barrier spills to the object store, which is
+    # what a hash join's build side does anyway)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = min(shuffle_buckets(), max(2, ncpu))
+    texts = docs_ds.select_columns([id_col, text_col])
+
+    def rename(b: pa.Table, col: str, to: str) -> pa.Table:
+        return b.rename_columns([to if c == col else c
+                                 for c in b.column_names])
+
+    ta, tb = f"{text_col}_a", f"{text_col}_b"
+    joined = (pairs_ds.join(texts, join_type="inner",
+                            num_partitions=n_parts,
+                            on=("a",), right_on=(id_col,))
+              .map_batches(lambda b: rename(b, text_col, ta),
+                           batch_format="pyarrow")
+              .materialize())
+    joined = (joined.join(texts, join_type="inner",
+                          num_partitions=n_parts,
+                          on=("b",), right_on=(id_col,))
+              .map_batches(lambda b: rename(b, text_col, tb),
+                           batch_format="pyarrow"))
+
+    def verify(b: pa.Table) -> pa.Table:
+        sims = [jaccard(x or "", y or "", k)
+                for x, y in zip(b[ta].to_pylist(), b[tb].to_pylist())]
+        keep = pa.array([s >= threshold for s in sims], pa.bool_())
+        return (b.select(["a", "b"])
+                .append_column("jaccard", pa.array(sims, pa.float64()))
+                .filter(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
+                     bands: int = 8, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     broadcast_cand_docs: int = BROADCAST_CAND_DOCS
+                     ) -> pd.DataFrame:
+    """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard ≥ threshold.
+
+    The LSH pass bounds candidate pairs; because each pair is then verified
+    individually, buckets emit ALL in-bucket pairs (a star-only emission
+    would silently disconnect b∼c whenever the bucket's min-id doc a fails
+    verification against both).  Verification is size-adaptive: few
+    candidate docs → filtered pull broadcast once and cached per worker;
+    many → the texts are hash-JOINED onto the pair list so nothing ever
+    lands on the driver.  Components are labelled distributed
+    (:mod:`pawpaw_ray.stages.cc`).  Output: (doc_id, cluster_id) like
+    :func:`minhash_clusters`, but without LSH false positives.
+    """
+    from pawpaw_ray.stages.cc import cc_labels_pandas
+
+    pairs_ds = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
+                          all_pairs=True).materialize()
+    ids_ds = docs_ds.select_columns([id_col])
+
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return cc_labels_pandas(pairs_ds, ids_ds, id_col)
+
+    # candidate docs ≤ 2x pairs; gate on the pair count so the large path
+    # never pulls the pair list to the driver at all
+    if n_pairs <= broadcast_cand_docs:
+        pairs_ids = pairs_ds.to_pandas()
+        cand_ids = pa.array(np.unique(np.concatenate(
+            [pairs_ids["a"].to_numpy(np.int64),
+             pairs_ids["b"].to_numpy(np.int64)])))
+        verified = _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids,
+                                           threshold, k, id_col, text_col)
+    else:
+        verified = _verify_pairs_join(pairs_ds, docs_ds, threshold, k,
+                                      id_col, text_col)
     return cc_labels_pandas(verified.select_columns(["a", "b"]), ids_ds, id_col)
 
 

@@ -265,3 +265,27 @@ def test_simhash_clusters_distributed_path(ray_session, monkeypatch):
     monkeypatch.setattr(dd, "SMALL_BAND_ROWS", 0)
     dist = dd.simhash_clusters(docs, max_hamming=3)
     assert small.equals(dist) and small["cluster_id"].nunique() < 13
+
+
+def test_near_dup_verify_paths_agree(ray_session):
+    """Broadcast-dict and hash-join verification must produce identical
+    clusters (the join path is the driverless 100 TB route)."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.dedup import near_dup_jaccard
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [base, base + " phi", base + " chi psi",
+             "completely different text about other things entirely one",
+             "completely different text about other things entirely two"]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": texts}))
+    via_broadcast = near_dup_jaccard(docs, threshold=0.5, bands=16,
+                                     broadcast_cand_docs=10**9)
+    via_join = near_dup_jaccard(docs, threshold=0.5, bands=16,
+                                broadcast_cand_docs=0)
+    assert via_broadcast.equals(via_join)
+    byid = dict(zip(via_broadcast["doc_id"], via_broadcast["cluster_id"]))
+    assert byid[0] == byid[1] == byid[2] == 0   # near-dups cluster
+    assert byid[3] == byid[4]                   # the other near-dup pair
