@@ -312,8 +312,43 @@ def simhash64(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) * weights).sum())
 
 
+def simhash64_many(texts: list[str]) -> np.ndarray:
+    """Batch simhash: ONE blake2b per unique token across the whole batch
+    (corpora share vocabulary, so this is far fewer digests than per-doc),
+    one ``np.add.at`` scatter for all (doc, token) occurrences.  Output is
+    bit-identical to :func:`simhash64` per doc (pinned by test)."""
+    vocab: dict[str, int] = {}
+    doc_idx: list[int] = []
+    tok_idx: list[int] = []
+    for d, text in enumerate(texts):
+        for t in _norm_tokens(text):
+            i = vocab.get(t)
+            if i is None:
+                i = vocab[t] = len(vocab)
+            doc_idx.append(d)
+            tok_idx.append(i)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not vocab:
+        return out
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big") for t in vocab),
+        dtype=np.uint64, count=len(vocab))
+    signed = (2 * np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
+                                bitorder="little").astype(np.int64) - 1)
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    np.add.at(acc, np.asarray(doc_idx, dtype=np.int64),
+              signed[np.asarray(tok_idx, dtype=np.int64)])
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    nonempty = np.zeros(len(texts), dtype=bool)
+    nonempty[np.asarray(doc_idx, dtype=np.int64)] = True
+    codes = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+    out[nonempty] = codes[nonempty]
+    return out
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    vals = [simhash64(t) for t in batch[text_col].to_pylist()]
+    vals = simhash64_many(batch[text_col].to_pylist())
     return batch.append_column("simhash64", pa.array(vals, pa.uint64()))
 
 
@@ -464,8 +499,7 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
 
     def sig_batch(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64)
-        sigs = np.fromiter((simhash64(t) for t in b[text_col].to_pylist()),
-                           dtype=np.uint64, count=len(ids))
+        sigs = simhash64_many(b[text_col].to_pylist())
         bands = np.tile(np.arange(4, dtype=np.int32), len(ids))
         rep_sigs = np.repeat(sigs, 4)
         keys = (rep_sigs >> (bands.astype(np.uint64) * np.uint64(16))) \

@@ -289,3 +289,15 @@ def test_near_dup_verify_paths_agree(ray_session):
     byid = dict(zip(via_broadcast["doc_id"], via_broadcast["cluster_id"]))
     assert byid[0] == byid[1] == byid[2] == 0   # near-dups cluster
     assert byid[3] == byid[4]                   # the other near-dup pair
+
+
+def test_simhash_batch_matches_per_doc():
+    """simhash64_many (batch-level vocab hashing) is bit-identical to the
+    per-doc kernel, including empty and repeated-token docs."""
+    from pawpaw_ray.stages.dedup import simhash64, simhash64_many
+
+    texts = ["", "one", "the quick brown fox", "a a a b b c",
+             "shared vocab the quick fox", "Unicode ÆØÅ 123 _x_ CASE case"]
+    got = simhash64_many(texts)
+    for t, g in zip(texts, got):
+        assert int(g) == simhash64(t), t
