@@ -239,18 +239,23 @@ def _pairs_single_task(g: pd.DataFrame, all_pairs: bool,
 def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
                text_col: str, all_pairs: bool = False,
                distinct: bool = True,
-               small_band_rows: int = SMALL_BAND_ROWS):
+               small_band_rows: int | None = None):
     """documents → LSH candidate-pair Dataset (a, b).
 
     ``distinct=False`` skips the pair-dedup shuffle — correct whenever the
     consumer tolerates duplicate edges (connected components does; pairwise
-    verification does not)."""
+    verification does not).
+
+    NOTE the size gate calls ``docs_ds.count()``: free for read-backed
+    datasets (parquet metadata) but it executes the upstream lineage once
+    for computed inputs — pass a materialized dataset in that case."""
     from pawpaw_ray.tuning import shuffle_buckets
 
+    if small_band_rows is None:
+        small_band_rows = SMALL_BAND_ROWS  # read at call time (patchable)
     bands_ds = docs_ds.map_batches(
         _lsh_signature_fn(num_perm, bands, k, id_col, text_col),
         batch_format="pyarrow")
-    # parquet metadata makes count() cheap; bands multiplies it
     n_rows = docs_ds.count() * bands
     if n_rows <= small_band_rows:
         return (bands_ds.repartition(1)
@@ -398,17 +403,13 @@ def _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids, threshold, k,
 def _verify_pairs_join(pairs_ds, docs_ds, threshold, k, id_col, text_col):
     """Large candidate set: two hash joins ship each side's text to its
     pair rows (nothing on the driver), then the same per-pair kernel."""
-    import ray
+    from pawpaw_ray.tuning import join_partitions
 
-    from pawpaw_ray.tuning import shuffle_buckets
-
-    # each JoinOperator holds num_partitions aggregator actors; cap by the
-    # cluster CPUs and materialize between the joins so only ONE join's
-    # actor pool is alive at a time (two live pools can deadlock a small
+    # materialize between the joins so only ONE join's aggregator-actor
+    # pool is alive at a time (two live pools can deadlock a small
     # cluster; at scale the barrier spills to the object store, which is
     # what a hash join's build side does anyway)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    n_parts = min(shuffle_buckets(), max(2, ncpu))
+    n_parts = join_partitions()
     texts = docs_ds.select_columns([id_col, text_col])
 
     def rename(b: pa.Table, col: str, to: str) -> pa.Table:
@@ -462,17 +463,24 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
                           all_pairs=True).materialize()
     ids_ds = docs_ds.select_columns([id_col])
 
-    n_pairs = pairs_ds.count()
-    if n_pairs == 0:
+    if pairs_ds.count() == 0:
         return cc_labels_pandas(pairs_ds, ids_ds, id_col)
 
-    # candidate docs ≤ 2x pairs; gate on the pair count so the large path
-    # never pulls the pair list to the driver at all
-    if n_pairs <= broadcast_cand_docs:
-        pairs_ids = pairs_ds.to_pandas()
-        cand_ids = pa.array(np.unique(np.concatenate(
-            [pairs_ids["a"].to_numpy(np.int64),
-             pairs_ids["b"].to_numpy(np.int64)])))
+    # gate on the DISTINCT candidate-doc count (a small distributed
+    # aggregate over int64s — the pair list itself never reaches the
+    # driver): duplicate-heavy corpora have pairs >> docs, and broadcasting
+    # a few hundred texts beats two join shuffles by a mile
+    nodes = pairs_ds.map_batches(
+        lambda b: pa.table({"n": pa.concat_arrays(
+            [b["a"].combine_chunks().cast(pa.int64()),
+             b["b"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow")
+    distinct_nodes = nodes.groupby("n").count().materialize()
+    n_cand = distinct_nodes.count()
+
+    if n_cand <= broadcast_cand_docs:
+        cand_ids = pa.array(np.sort(
+            distinct_nodes.to_pandas()["n"].to_numpy(np.int64)))
         verified = _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids,
                                            threshold, k, id_col, text_col)
     else:

@@ -32,15 +32,10 @@ def rejoin_text(spans_ds, text_ds, on=("conv_id", "turn_idx"),
 
     ``text_ds`` should be pruned to ``on + (text_col,)`` at the read — the
     join ships only the key and text columns of the corpus."""
-    import ray
-
-    from pawpaw_ray.tuning import shuffle_buckets
+    from pawpaw_ray.tuning import join_partitions
 
     if num_partitions is None:
-        # the JoinOperator holds one aggregator actor per partition — cap
-        # by cluster CPUs so small clusters can schedule the pool
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = min(shuffle_buckets(), max(2, ncpu))
+        num_partitions = join_partitions()
     keep = list(on) + [text_col]
     extra = [c for c in (text_ds.columns() or []) if c not in keep]
     if extra:

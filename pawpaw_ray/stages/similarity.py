@@ -340,11 +340,13 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
                                  "b": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
-    from pawpaw_ray.stages.dedup import SMALL_BAND_ROWS
-
-    if embeddings_ds.count() * n_tables <= SMALL_BAND_ROWS // 8:
-        # size gate (cf. dedup._lsh_pairs; rows carry the vec column, so
-        # the one-task threshold is 8x tighter): pair + dedup in one task
+    # size gate in BYTES, not rows (cf. dedup._lsh_pairs): every signed row
+    # carries a full vector copy, so gate on count x tables x row bytes —
+    # 768-dim floats hit the limit ~100x sooner than 8-dim ones.  dim comes
+    # from the caller or a one-row limit-pushdown sniff (cheap on parquet).
+    est_dim = dim or len(embeddings_ds.take(1)[0][vec_col])
+    row_bytes = est_dim * 8 + 48
+    if embeddings_ds.count() * n_tables * row_bytes <= 256 * 2**20:
         pairs = signed.repartition(1).map_batches(
             lambda g: bucket_pairs(g).drop_duplicates(),
             batch_format="pandas", batch_size=None)

@@ -41,6 +41,21 @@ def read_blocks_for(ncpu: int | None = None) -> int:
     return ncpu
 
 
+def join_partitions(ncpu: int | None = None) -> int:
+    """Partition count for ``Dataset.join``: each JoinOperator holds one
+    aggregator ACTOR per partition, so cap by cluster CPUs or a small
+    cluster cannot schedule the pool (two live 16-actor pools deadlocked a
+    4-CPU box)."""
+    import ray
+
+    if ncpu is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            ncpu = 8
+    return min(shuffle_buckets(ncpu=ncpu), max(2, ncpu))
+
+
 def shuffle_buckets(multiplier: int = 2, floor: int = 16,
                     cap: int = 4096, ncpu: int | None = None) -> int:
     """Shuffle fan-out for the bucketed-groupby pattern, derived from the
