@@ -16,12 +16,19 @@ Scale design (the skew story required by the north rule):
   the shuffle produces B balanced partitions, and each bucket task walks its
   (conv, chunk) subgroups with C-speed pandas grouping — NOT one Ray group
   per key (per-group task overhead dominates at millions of conversations).
-* **Chunk stitching.** Antecedent state that crosses a chunk boundary is
-  precomputed as a *carry table*: per-chunk tail states (last person subject
-  of the chunk) forward-filled per conversation.  Because ``chunk_turns >
-  window_turns``, only the immediately-preceding chunk's tail can ever be in
-  window, so one carry row per chunk suffices.  The carry table is 1/chunk
-  of the triple count and is broadcast (``ray.put``) to the resolution pass.
+* **Chunk stitching, fully distributed.** Antecedent state that crosses a
+  chunk boundary travels as *carry rows*: each block emits its last person
+  subject per (conv, chunk) (an associative partial — one tiny row per
+  (conv, chunk) per block), re-keyed to chunk k+1's bucket and unioned into
+  the salted table.  Inside the resolve group they sort ahead of chunk
+  k+1's real rows (their turn_idx belongs to chunk k), so the sequential
+  antecedent scan both REDUCES the partials (the max-(turn_idx, s_start)
+  partial is simply the last one seen) and applies the carry — then the
+  rows are dropped.  Because ``chunk_turns > window_turns``, only the
+  immediately-preceding chunk's tail can ever be in window, so one carry
+  row per chunk suffices.  Nothing touches the driver: at 10^12-turn scale
+  the carry table is tens of millions of rows, which a driver-side
+  ``to_pandas`` + broadcast dict (the round-2 design) could not hold.
 
 The input triples are materialized once (compact rows, not raw text) because
 two consumers traverse them (tail extraction + resolution).  Everything is
@@ -68,8 +75,13 @@ def _resolve_arrays(turns, pron, subj_id, subj_path, subj_can, via,
 
 
 def resolve_bucket(g: pd.DataFrame, window_turns: int,
-                   carry_map: dict | None) -> pd.DataFrame:
-    """Resolve all (conv, chunk) subgroups of one hash bucket."""
+                   carry_map: dict | None = None) -> pd.DataFrame:
+    """Resolve all (conv, chunk) subgroups of one hash bucket.
+
+    Carry state arrives either as ``carry_map`` (unit-test convenience) or —
+    the distributed path — as in-band rows flagged ``is_carry``: they sort
+    ahead of the chunk's real rows, feed the antecedent scan, and are
+    dropped from the output."""
     g = g.sort_values(["conv_id", "chunk", "turn_idx", "s_start"],
                       kind="mergesort").reset_index(drop=True)
     subj_id = g["subj_id"].to_numpy(dtype=object).copy()
@@ -95,24 +107,9 @@ def resolve_bucket(g: pd.DataFrame, window_turns: int,
     g["subj_path"] = subj_path
     g["subj_canonical"] = subj_can
     g["via_coref"] = via
+    if "is_carry" in g.columns:
+        g = g[~g["is_carry"].to_numpy(dtype=bool)]
     return g
-
-
-def tails_partial_pdf(df: pd.DataFrame) -> pd.DataFrame:
-    """Last antecedent row per (conv, chunk) of ``df`` — associative partial
-    of the carry-table reduce (columns conv_id/chunk/turn_idx(tail_turn)/
-    s_start/subj_id(tail_id)/subj_canonical(tail_can))."""
-    if "tail_turn" not in df.columns:
-        df = df.rename(columns={"turn_idx": "tail_turn", "subj_id": "tail_id",
-                                "subj_canonical": "tail_can"})
-    if not len(df):
-        return df[["conv_id", "chunk", "tail_turn", "s_start",
-                   "tail_id", "tail_can"]]
-    df = df.sort_values(["conv_id", "chunk", "tail_turn", "s_start"],
-                        kind="mergesort")
-    return (df.groupby(["conv_id", "chunk"], sort=False).tail(1)
-            [["conv_id", "chunk", "tail_turn", "s_start", "tail_id", "tail_can"]]
-            .reset_index(drop=True))
 
 
 def tails_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -199,9 +196,6 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
                 .drop_columns(["cbucket"]))
 
     assert chunk_turns > window_turns
-    import ray
-
-    from pawpaw_ray.state.broadcast import cached_get
 
     def add_salt_cols(b: pa.Table) -> pa.Table:
         turn = b["turn_idx"].to_numpy()
@@ -211,47 +205,59 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
             (_bucket_of(c, k, n_buckets) for c, k in zip(conv, chunk)),
             dtype=np.int32, count=len(conv))
         return (b.append_column("chunk", pa.array(chunk, pa.int64()))
-                 .append_column("cbucket", pa.array(buck, pa.int32())))
+                 .append_column("cbucket", pa.array(buck, pa.int32()))
+                 .append_column("is_carry",
+                                pa.array(np.zeros(len(conv), dtype=bool))))
 
     # compact triple rows; two consumers below — pin once so the raw-text
     # upstream (segment/extract/link) executes exactly once
     salted = triples_ds.map_batches(add_salt_cols, batch_format="pyarrow").materialize()
 
-    # Carry table WITHOUT a shuffle: per-batch partial tails (the last
-    # antecedent row of every (conv, chunk) present in the batch) are tiny —
-    # one row per (conv, chunk) per block — and "last" is associative, so the
-    # driver reduces partials with one more tail-pick.  The carry for chunk
-    # k+1 is chunk k's tail; chunk_turns > window_turns guarantees no carry
-    # ever reaches further back.
-    def tail_partials(b: pa.Table) -> pa.Table:
+    # Carry rows WITHOUT a driver hop or extra shuffle: each block emits its
+    # last antecedent row per (conv, chunk) — an associative partial, one
+    # tiny row per (conv, chunk) per block — re-keyed to chunk k+1's bucket
+    # and unioned into the salted table.  The resolve scan below finishes
+    # the reduce for free (partials sort ahead of chunk k+1's real rows and
+    # the last one seen wins) and drops them.  chunk_turns > window_turns
+    # guarantees no carry ever reaches further back than one chunk.
+    def carry_partials(b: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.invert(b["subj_is_pronoun"]),
             pc.and_(pc.is_valid(b["subj_id"]),
                     pc.starts_with(pc.coalesce(b["subj_path"], ""), PERSON_PREFIX)))
         t = b.filter(keep)
-        df = t.select(["conv_id", "chunk", "turn_idx", "s_start",
-                       "subj_id", "subj_canonical"]).to_pandas()
-        return pa.Table.from_pandas(tails_partial_pdf(df), preserve_index=False)
+        if t.num_rows:
+            df = t.select(["conv_id", "chunk", "turn_idx", "s_start"]).to_pandas()
+            idx = (df.sort_values(["conv_id", "chunk", "turn_idx", "s_start"],
+                                  kind="mergesort")
+                   .groupby(["conv_id", "chunk"], sort=False)
+                   .tail(1).index.to_numpy())
+            t = t.take(pa.array(np.sort(idx)))
+        # full triple schema kept (non-key payload columns ride along and are
+        # dropped with the row post-scan) so union needs no schema surgery
+        ck = t["chunk"].to_numpy() + 1
+        conv = t["conv_id"].to_pylist()
+        buck = np.fromiter(
+            (_bucket_of(c, int(k), n_buckets) for c, k in zip(conv, ck)),
+            dtype=np.int32, count=len(conv))
+        cols = {"chunk": pa.array(ck, pa.int64()),
+                "cbucket": pa.array(buck, pa.int32()),
+                "is_carry": pa.array(np.ones(len(conv), dtype=bool))}
+        for name, arr in cols.items():
+            t = t.set_column(t.schema.get_field_index(name), name, arr)
+        return t
 
-    tails_pdf = tails_partial_pdf(
-        salted.map_batches(tail_partials, batch_format="pyarrow").to_pandas())
-    carry_map = {
-        (r.conv_id, int(r.chunk) + 1): {"turn": int(r.tail_turn),
-                                        "id": r.tail_id, "can": r.tail_can}
-        for r in tails_pdf.itertuples()
-    }
-    carry_ref = ray.put(carry_map)
+    carry_ds = salted.map_batches(carry_partials, batch_format="pyarrow")
 
     if add_keys:
         from pawpaw_ray.stages.canonicalize import canonical_keys_pdf
 
-        def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
-            return canonical_keys_pdf(
-                resolve_bucket(g, window_turns, cached_get(carry_ref)))
+        def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+            return canonical_keys_pdf(resolve_bucket(g, window_turns))
     else:
-        def resolve_with_carry(g: pd.DataFrame) -> pd.DataFrame:
-            return resolve_bucket(g, window_turns, cached_get(carry_ref))
+        def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+            return resolve_bucket(g, window_turns)
 
-    resolved = salted.groupby("cbucket").map_groups(
-        resolve_with_carry, batch_format="pandas")
-    return resolved.drop_columns(["chunk", "cbucket"])
+    resolved = salted.union(carry_ds).groupby("cbucket").map_groups(
+        resolve_group, batch_format="pandas")
+    return resolved.drop_columns(["chunk", "cbucket", "is_carry"])

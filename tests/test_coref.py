@@ -115,6 +115,32 @@ def test_salted_and_unsalted_paths_agree(ray_session):
         salted[key + ["subj_id", "via_coref", "subj_canonical"]])
 
 
+def test_salted_output_invariant_to_block_count(ray_session):
+    """The distributed carry reduce emits one partial per (conv, chunk) per
+    block; the resolved output must not depend on how the input is blocked."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.coref import resolve_coref
+
+    rows = []
+    for t in range(0, 300, 3):
+        rows.append(("mega", 0, t, 0, "Alice Brandt", False,
+                     "ent-1", "person", "Alice Brandt"))
+        rows.append(("mega", 0, t + 1, 0, "He", True, None, None, None))
+    pdf = mk(rows).drop(columns=["chunk"])
+
+    key = ["conv_id", "turn_idx", "s_start"]
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(pdf).repartition(nblocks)
+        out = (resolve_coref(ds, window_turns=8, chunk_turns=16,
+                             salt_chunks=True)
+               .to_pandas().sort_values(key).reset_index(drop=True))
+        outs.append(out[key + ["subj_id", "via_coref", "subj_canonical"]])
+    assert outs[0]["via_coref"].sum() > 0
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_multiple_conversations_in_one_bucket_stay_isolated():
     g = mk([
         ("c1", 0, 0, 0, "Alice Brandt", False, "ent-1", "person", "Alice Brandt"),
