@@ -188,6 +188,7 @@ def cc_labels(pairs_ds, ids_ds, id_col: str = "doc_id",
                               batch_size=None)
                  .materialize())
     elif n_edges > 0:
+        converged = False
         for _ in range(max_rounds):
             large = (edges
                      .map_batches(lambda b: _symmetrize(b, n_buckets),
@@ -202,8 +203,16 @@ def cc_labels(pairs_ds, ids_ds, id_col: str = "doc_id",
                      .materialize())
             sig = _signature(edges)
             if sig == prev or sig[0] == 0:
+                converged = True
                 break
             prev = sig
+        if not converged:
+            # labels from a non-fixed-point edge set can split components;
+            # make that an observable failure, not silently wrong output
+            raise RuntimeError(
+                f"cc_labels: star contraction did not converge in "
+                f"{max_rounds} rounds (last signature {prev}); raise "
+                f"max_rounds for this graph")
 
     # star edges (u → root) become labels; every id contributes its own id so
     # roots and isolated nodes label themselves; min() resolves the rest

@@ -246,17 +246,18 @@ def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
     consumer tolerates duplicate edges (connected components does; pairwise
     verification does not).
 
-    NOTE the size gate calls ``docs_ds.count()``: free for read-backed
-    datasets (parquet metadata) but it executes the upstream lineage once
-    for computed inputs — pass a materialized dataset in that case."""
+    The size gate counts the materialized band table (signatures only,
+    ~40 B/row) rather than ``docs_ds`` — a computed, non-read-backed input
+    therefore executes its lineage exactly ONCE, and the groupby below
+    buffers its input anyway (AllToAll), so the pin costs nothing extra."""
     from pawpaw_ray.tuning import shuffle_buckets
 
     if small_band_rows is None:
         small_band_rows = SMALL_BAND_ROWS  # read at call time (patchable)
     bands_ds = docs_ds.map_batches(
         _lsh_signature_fn(num_perm, bands, k, id_col, text_col),
-        batch_format="pyarrow")
-    n_rows = docs_ds.count() * bands
+        batch_format="pyarrow").materialize()
+    n_rows = bands_ds.count()
     if n_rows <= small_band_rows:
         return (bands_ds.repartition(1)
                 .map_batches(lambda g: _pairs_single_task(g, all_pairs,
@@ -368,10 +369,13 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-# Above this many candidate docs, verification stops broadcasting a
-# text dict (driver memory!) and joins texts onto the pair list with the
-# native hash join instead — the 100 TB path.
+# Above this many candidate docs — OR this many total candidate text
+# bytes — verification stops broadcasting a text dict (driver memory!)
+# and joins texts onto the pair list with the native hash join instead —
+# the 100 TB path.  The byte leg matters independently: 100k MB-scale
+# documents are a multi-GB pull even though the count looks safe.
 BROADCAST_CAND_DOCS = 100_000
+BROADCAST_CAND_BYTES = 64 * 2**20
 
 
 def _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids, threshold, k,
@@ -411,28 +415,59 @@ def _verify_pairs_join(pairs_ds, docs_ds, threshold, k, id_col, text_col):
     # what a hash join's build side does anyway)
     n_parts = join_partitions()
     texts = docs_ds.select_columns([id_col, text_col])
+    base = texts.schema().base_schema
+    t_type = (base.field(text_col).type if isinstance(base, pa.Schema)
+              else pa.string())  # pandas-backed blocks convert to string
 
-    def rename(b: pa.Table, col: str, to: str) -> pa.Table:
+    ta, tb = f"{text_col}_a", f"{text_col}_b"
+    sch_a = pa.schema([("a", pa.int64()), ("b", pa.int64()), (ta, t_type)])
+    sch_ab = sch_a.append(pa.field(tb, t_type))
+
+    # Ray's hash-shuffle join aggregator crashes when a partition receives
+    # ZERO shards on either side (its block builder yields a schema-less
+    # table and pa.Table.join can't resolve the key) — a sparse pair list
+    # leaves partitions empty.  Cover every partition w.h.p. with
+    # self-joining sentinel rows in the far-negative id range: they survive
+    # both joins (a == b == sentinel, matched by sentinel text rows) and
+    # the a != b filter after verification drops them.
+    import ray.data as rd
+    n_sent = 32 * n_parts
+    sent_ids = -(np.arange(1, n_sent + 1, dtype=np.int64) + (1 << 62))
+    pairs_ds = pairs_ds.union(rd.from_arrow(pa.table(
+        {"a": pa.array(sent_ids, pa.int64()),
+         "b": pa.array(sent_ids, pa.int64())})))
+    texts = texts.union(rd.from_arrow(pa.table(
+        {id_col: pa.array(sent_ids, pa.int64()),
+         text_col: pa.array([""] * n_sent, t_type)})))
+
+    def rename(b: pa.Table, col: str, to: str, schema: pa.Schema) -> pa.Table:
+        if b.num_columns == 0:  # belt-and-braces vs schema-less blocks
+            return schema.empty_table()
         return b.rename_columns([to if c == col else c
                                  for c in b.column_names])
 
-    ta, tb = f"{text_col}_a", f"{text_col}_b"
     joined = (pairs_ds.join(texts, join_type="inner",
                             num_partitions=n_parts,
                             on=("a",), right_on=(id_col,))
-              .map_batches(lambda b: rename(b, text_col, ta),
+              .map_batches(lambda b: rename(b, text_col, ta, sch_a),
                            batch_format="pyarrow")
               .materialize())
     joined = (joined.join(texts, join_type="inner",
                           num_partitions=n_parts,
                           on=("b",), right_on=(id_col,))
-              .map_batches(lambda b: rename(b, text_col, tb),
+              .map_batches(lambda b: rename(b, text_col, tb, sch_ab),
                            batch_format="pyarrow"))
 
     def verify(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            b = sch_ab.empty_table()
+        aa, bb = b["a"].to_pylist(), b["b"].to_pylist()
         sims = [jaccard(x or "", y or "", k)
                 for x, y in zip(b[ta].to_pylist(), b[tb].to_pylist())]
-        keep = pa.array([s >= threshold for s in sims], pa.bool_())
+        # a != b also drops the partition-coverage sentinels (real pairs
+        # are strict upper-triangle, never self-pairs)
+        keep = pa.array([s >= threshold and x != y
+                         for s, x, y in zip(sims, aa, bb)], pa.bool_())
         return (b.select(["a", "b"])
                 .append_column("jaccard", pa.array(sims, pa.float64()))
                 .filter(keep))
@@ -443,7 +478,8 @@ def _verify_pairs_join(pairs_ds, docs_ds, threshold, k, id_col, text_col):
 def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
                      bands: int = 8, k: int = 3, id_col: str = "doc_id",
                      text_col: str = "text",
-                     broadcast_cand_docs: int = BROADCAST_CAND_DOCS
+                     broadcast_cand_docs: int = BROADCAST_CAND_DOCS,
+                     broadcast_cand_bytes: int = BROADCAST_CAND_BYTES
                      ) -> pd.DataFrame:
     """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard ≥ threshold.
 
@@ -478,9 +514,26 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
     distinct_nodes = nodes.groupby("n").count().materialize()
     n_cand = distinct_nodes.count()
 
-    if n_cand <= broadcast_cand_docs:
+    use_broadcast = n_cand <= broadcast_cand_docs
+    cand_ids = None
+    if use_broadcast:
         cand_ids = pa.array(np.sort(
             distinct_nodes.to_pandas()["n"].to_numpy(np.int64)))
+        # byte-aware leg of the gate (the count alone says nothing about
+        # text volume): one small distributed sum of the candidates' utf8
+        # byte lengths — only the per-block int64 partials reach the driver
+        def cand_text_bytes(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            t = b.filter(pc.is_in(b[id_col], value_set=cand_ids))
+            nb = pc.sum(pc.binary_length(t[text_col])).as_py() or 0
+            return pa.table({"nb": pa.array([nb], pa.int64())})
+
+        total_bytes = (docs_ds.map_batches(cand_text_bytes,
+                                           batch_format="pyarrow")
+                       .sum("nb") or 0)
+        use_broadcast = total_bytes <= broadcast_cand_bytes
+
+    if use_broadcast:
         verified = _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids,
                                            threshold, k, id_col, text_col)
     else:
@@ -491,6 +544,18 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _hamming_matrix(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """(|sa|, |sb|) pairwise Hamming distances between uint64 signatures:
+    one broadcast XOR + byte-table popcount — no Python loop."""
+    x = sa[:, None] ^ sb[None, :]
+    return (_POP8[x.view(np.uint8).reshape(len(sa), len(sb), 8)]
+            .sum(axis=2, dtype=np.int64))
 
 
 def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
@@ -526,20 +591,36 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
         })
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Hamming-verified pairs within one exact-band collision group —
+        vectorized XOR-popcount matrix; groups beyond ``max_all_pairs``
+        fall back to multi-hub stars (same pair budget and rationale as
+        ``_pairs_from_bucket``: a duplicate-heavy corpus can land millions
+        of identical signatures in ONE band bucket, and n²/2 Python
+        hamming calls there would be unbounded)."""
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+            return empty
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy(np.int64)
         sigs = g["simhash64"].to_numpy(np.uint64)
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if hamming64(int(sigs[i]), int(sigs[j])) <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
-                             "b": pd.Series(out_b, dtype=np.int64)})
+        n = len(ids)
+        if n < 2:
+            return empty
+        max_all_pairs = 512
+        if n <= max_all_pairs:
+            d = _hamming_matrix(sigs, sigs)
+            iu, ju = np.triu_indices(n, k=1)
+            keep = d[iu, ju] <= max_hamming
+            return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]]})
+        # multi-hub stars: h smallest ids each verified against every
+        # member; identical/near-identical signatures (the only way a band
+        # bucket gets this big) stay connected through any surviving hub
+        h = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
+        d = _hamming_matrix(sigs[:h], sigs)
+        hi, mj = np.nonzero(d <= max_hamming)
+        keep = mj > hi
+        return pd.DataFrame({"a": ids[hi[keep]], "b": ids[mj[keep]]})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated(["band", "band_key"], keep=False)]  # collisions only
@@ -550,8 +631,10 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
                                  "b": pd.Series([], dtype=np.int64)})
         return pd.concat(frames, ignore_index=True)
 
-    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-    if docs_ds.count() * 4 <= SMALL_BAND_ROWS:  # size gate, cf. _lsh_pairs
+    # materialize the (small) signature table so the size gate's count does
+    # not re-execute a computed upstream lineage (cf. _lsh_pairs)
+    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
+    if sigs.count() <= SMALL_BAND_ROWS:  # size gate, cf. _lsh_pairs
         pairs = sigs.repartition(1).map_batches(
             bucket_pairs, batch_format="pandas", batch_size=None)
     else:

@@ -190,6 +190,8 @@ class _LshProbeScorer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # _to_matrix can't reshape an empty block
+            return self.scorer(batch)
         M = _to_matrix(batch[self.vec_col])
         codes = _signs_to_codes((M @ self.H.T) > 0)
         mask = np.isin(codes, self.wanted)
@@ -259,6 +261,19 @@ class MultiTableSigner:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # empty block: emit the output schema without touching H (an
+            # empty FIRST batch must not poison the lazily-derived planes)
+            vecs = batch[self.vec_col]
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "lsh_table": pa.array([], pa.int32()),
+                "lsh_code": pa.array([], pa.uint64()),
+                "bucket": pa.array([], pa.int32()),
+                self.vec_col: vecs,
+            })
         M = _to_matrix(batch[self.vec_col])
         if self.H is None:
             rng = np.random.RandomState(self.seed)

@@ -69,9 +69,29 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
+def fingerprint64(norm: str) -> int:
+    """64-bit document fingerprint: min of splitmix64-mixed sliding 8-byte
+    windows over the first 4 KiB of the normalized text — the min-of-window-
+    hashes shape shared with winnowing/minhash sketches.  Fully vectorized:
+    the windows are assembled with 8 shifted uint64 slice-adds (no per-byte
+    Python loop; the round-2 per-byte FNV kernel was ~200x slower per MB,
+    see BASELINE.md)."""
+    from pawpaw_ray.stages.dedup import _splitmix64
+
+    buf = norm[:4096].encode()
+    if not buf:
+        return 0
+    a = np.frombuffer(buf.ljust(8, b"\0"), dtype=np.uint8).astype(np.uint64)
+    n = len(a)
+    w = np.zeros(n - 7, dtype=np.uint64)
+    for k in range(8):
+        w |= a[k:n - 7 + k] << np.uint64(8 * k)
+    return int(_splitmix64(w).min())
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Content fingerprints: sha1 of the normalized text (exact-dup key) and
-    a 64-bit rolling-window min-hash style fingerprint.
+    """Content fingerprints: sha1/sha256 of the normalized text (exact-dup
+    keys) and the 64-bit sliding-window fingerprint (:func:`fingerprint64`).
 
     Normalization is ``str.split()`` + ``casefold()``; the DuckDB oracle
     approximates it with regex ``\\s`` + ``lower()`` — identical on ASCII
@@ -82,14 +102,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         norm = " ".join((text or "").split()).casefold()
         sha.append(hashlib.sha1(norm.encode()).hexdigest())
         sha256.append(hashlib.sha256(norm.encode()).hexdigest())
-        h = np.uint64(1469598103934665603)
-        best = np.uint64(0xFFFFFFFFFFFFFFFF)
-        with np.errstate(over="ignore"):
-            for ch in norm[:4096].encode():
-                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-                if h < best:
-                    best = h
-        rolling.append(int(best))
+        rolling.append(fingerprint64(norm))
     return (batch.append_column("content_sha1", pa.array(sha, pa.string()))
                  .append_column("content_sha256", pa.array(sha256, pa.string()))
                  .append_column("fingerprint64", pa.array(rolling, pa.uint64())))

@@ -301,3 +301,98 @@ def test_simhash_batch_matches_per_doc():
     got = simhash64_many(texts)
     for t, g in zip(texts, got):
         assert int(g) == simhash64(t), t
+
+
+def test_hamming_matrix_matches_scalar():
+    """Vectorized XOR-popcount matrix is exact vs the scalar kernel."""
+    from pawpaw_ray.stages.dedup import _hamming_matrix, hamming64
+
+    rng = np.random.RandomState(3)
+    sa = rng.randint(0, 2**63, size=17, dtype=np.int64).astype(np.uint64)
+    sb = rng.randint(0, 2**63, size=11, dtype=np.int64).astype(np.uint64)
+    d = _hamming_matrix(sa, sb)
+    for i in range(len(sa)):
+        for j in range(len(sb)):
+            assert d[i, j] == hamming64(int(sa[i]), int(sb[j]))
+
+
+def test_simhash_clusters_skewed_bucket_bounded(ray_session, monkeypatch):
+    """10k identical docs land every signature in ONE band bucket; the
+    multi-hub cap keeps pair emission (and wall time) bounded instead of
+    n^2/2 comparisons, and the cluster is still connected."""
+    import ray.data as rd
+
+    import pawpaw_ray.stages.dedup as dd
+
+    n = 10_000
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["the very same duplicated document text"] * n,
+    })).repartition(4)
+    monkeypatch.setattr(dd, "SMALL_BAND_ROWS", 0)  # force bucketed path
+    out = dd.simhash_clusters(docs, max_hamming=3)
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1 and out["cluster_id"].iloc[0] == 0
+
+
+def test_near_dup_jaccard_byte_gate(ray_session):
+    """Long documents trip the byte leg of the broadcast gate (count alone
+    looks safe) and route to the join path — output pinned identical."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.dedup import near_dup_jaccard
+
+    base = " ".join(f"token{i % 97} word{i % 53}" for i in range(400))
+    texts = [base, base + " tail", "something else entirely different here",
+             "another unrelated document with its own words"]
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    via_broadcast = near_dup_jaccard(docs, threshold=0.5, bands=16)
+    via_join = near_dup_jaccard(docs, threshold=0.5, bands=16,
+                                broadcast_cand_bytes=1)
+    assert via_broadcast.equals(via_join)
+    byid = dict(zip(via_join["doc_id"], via_join["cluster_id"]))
+    assert byid[0] == byid[1] == 0 and byid[2] != byid[3]
+
+
+def test_cc_nonconvergence_raises(ray_session):
+    """Exhausting max_rounds without a fixed point is an error, not
+    silently wrong labels."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.cc import cc_labels
+
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": np.arange(0, 9, dtype=np.int64),
+         "b": np.arange(1, 10, dtype=np.int64)}))
+    ids = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc_labels(pairs, ids, small_graph_edges=0, max_rounds=0).to_pandas()
+
+
+def test_similarity_empty_batch_guards():
+    """MultiTableSigner and _LshProbeScorer short-circuit empty blocks
+    (an empty FIRST batch must not crash or poison lazy plane derivation)."""
+    import pyarrow as pa
+
+    from pawpaw_ray.stages.similarity import MultiTableSigner, _LshProbeScorer
+    import numpy as np
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    })
+    signer = MultiTableSigner(n_bits=4, n_tables=2)
+    out = signer(empty)
+    assert len(out) == 0 and signer.H is None
+    full = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float64())),
+    })
+    assert len(signer(full)) == 4  # still works after the empty block
+
+    state = {"H": np.eye(2), "wanted": np.array([0], dtype=np.uint64),
+             "ids": [1], "matrix": np.array([[1.0, 0.0]])}
+    scorer = _LshProbeScorer(state, k=1, id_col="vec_id", vec_col="embedding")
+    assert len(scorer(empty)) == 0
