@@ -408,6 +408,38 @@ def _q_fingerprint(sf_dir: str):
             .select_columns(["doc_id", "content_sha256"]))
 
 
+def _q_str_ops(sf_dir: str):
+    """str_ family grid over documents (kernels/strfns.py); golden =
+    reference ``Ito.str_*`` over the identical grid (make_golden.py)."""
+    from pawpaw_ray.stages.rowfns import str_ops_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(str_ops_batch, batch_format="pyarrow"))
+
+
+def _q_format_grid(sf_dir: str):
+    """__format__ mini-language grid over documents (kernels/fmt.py);
+    golden = reference ``format(Ito(...), spec)`` (make_golden.py)."""
+    from pawpaw_ray.stages.rowfns import format_grid_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(format_grid_batch, batch_format="pyarrow"))
+
+
+def _q_xml_ns(sf_dir: str):
+    """XmlHelper namespace resolution (Clark tags, resolved attributes,
+    head text) over synthetic namespaced docs; golden = stdlib
+    ElementTree's namespace-aware parse (make_golden.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pawpaw_ray.stages.rowfns import ns_doc, xml_ns_batch
+
+    n = max(200, _turns_for(sf_dir) // 100)
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "xml": pa.array([ns_doc(i) for i in range(n)], pa.string())}))
+    return src.map_batches(xml_ns_batch, batch_format="pyarrow")
+
+
 def _q_ontology_mentions(sf_dir: str):
     """Hierarchical ontology discovery (reference ``Ontology.discover``,
     ``/root/reference/pawpaw/ontology/ontology.py:60-70``) over documents:
@@ -460,6 +492,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         # hierarchical ontology discovery (golden: reference engine)
         "ontology_mentions": _q_ontology_mentions,
+        # row-local helper layers as hash-checked grids (golden: reference
+        # Ito.str_* / format(ito, spec) / stdlib-ET namespace view)
+        "str_ops": _q_str_ops,
+        "format_grid": _q_format_grid,
+        "xml_ns": _q_xml_ns,
     }
 
 
@@ -704,4 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _golden_sql("simhash"),
         "ann_topk_lsh": _golden_sql("ann_topk_lsh"),
         "ontology_mentions": _golden_sql("ontology_mentions"),
+        "str_ops": _golden_sql("str_ops"),
+        "format_grid": _golden_sql("format_grid"),
+        "xml_ns": _golden_sql("xml_ns"),
     }

@@ -614,6 +614,91 @@ def golden_ontology(d: str, docs: pd.DataFrame) -> None:
     _write(d, "ontology_mentions", df)
 
 
+# ---------------------------------------------------------------------------
+# row-local helper grids: reference Ito.str_* / format(ito, spec) / stdlib ET
+# (grid constants imported from stages/rowfns.py are the shared RULE
+# definitions; every result below is computed by the reference library or
+# stdlib ET — none of the engine's kernel code runs here)
+# ---------------------------------------------------------------------------
+
+def _sp(x) -> str:
+    return f"{x.span[0]}:{x.span[1]}"
+
+
+def _ref_str_op(it, op: str, arg) -> str:
+    if op == "count":
+        return str(it.str_count(arg))
+    if op == "find":
+        return str(it.str_find(arg))
+    if op == "rfind":
+        return str(it.str_rfind(arg))
+    if op in ("startswith", "endswith"):
+        return str(getattr(it, f"str_{op}")(arg))
+    if op.startswith("is"):
+        return str(getattr(it, f"str_{op}")())
+    if op in ("strip", "lstrip", "rstrip"):
+        return _sp(getattr(it, f"str_{op}")(arg))
+    if op in ("partition", "rpartition"):
+        return ";".join(_sp(x) for x in getattr(it, f"str_{op}")(arg))
+    if op in ("split", "rsplit"):
+        return ";".join(_sp(x) for x in getattr(it, f"str_{op}")(arg, 2))
+    if op == "splitlines":
+        return ";".join(_sp(x) for x in it.str_splitlines())
+    if op in ("removeprefix", "removesuffix"):
+        return _sp(getattr(it, f"str_{op}")(arg))
+    raise ValueError(op)
+
+
+def golden_str_ops(d: str, docs: pd.DataFrame) -> None:
+    import pawpaw as pp
+
+    from pawpaw_ray.stages.rowfns import STR_OPS, span_grid
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        text = text or ""
+        for si, span in enumerate(span_grid(len(text))):
+            it = pp.Ito(text, *span)
+            for op, arg in STR_OPS:
+                key = f"{op}:{arg}" if arg is not None else op
+                rows.append((doc_id, si, key, _ref_str_op(it, op, arg)))
+    _write(d, "str_ops", pd.DataFrame(
+        rows, columns=["doc_id", "span_id", "op", "result"]))
+
+
+def golden_format_grid(d: str, docs: pd.DataFrame) -> None:
+    import pawpaw as pp
+
+    from pawpaw_ray.stages.rowfns import FMT_SPECS, span_grid
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        text = text or ""
+        for si, (s, e) in enumerate(span_grid(len(text))):
+            it = pp.Ito(text, s, e, "tok" if si else None)
+            for fi, spec in enumerate(FMT_SPECS):
+                rows.append((doc_id, si, fi, format(it, spec)))
+    _write(d, "format_grid", pd.DataFrame(
+        rows, columns=["doc_id", "span_id", "spec_id", "rendered"]))
+
+
+def golden_xml_ns(d: str) -> None:
+    import xml.etree.ElementTree as stdET
+
+    from pawpaw_ray.stages.rowfns import ns_doc
+
+    n = max(200, N_TURNS // 100)
+    rows = []
+    for i in range(n):
+        root = stdET.fromstring(ns_doc(i))
+        for el_ord, e in enumerate(root.iter()):
+            attrs = ";".join(f"{k}={v}" for k, v in sorted(e.attrib.items()))
+            rows.append((i, el_ord, e.tag, attrs,
+                         "None" if e.text is None else e.text))
+    _write(d, "xml_ns", pd.DataFrame(
+        rows, columns=["doc_id", "el_ord", "tag", "attrs", "head_text"]))
+
+
 def main() -> None:
     d = _out_dir()
     turns, catalog = _transcripts()
@@ -628,6 +713,9 @@ def main() -> None:
     golden_simhash(d, docs)
     golden_ann_lsh(d)
     golden_ontology(d, docs)
+    golden_str_ops(d, docs)
+    golden_format_grid(d, docs)
+    golden_xml_ns(d)
 
 
 if __name__ == "__main__":
