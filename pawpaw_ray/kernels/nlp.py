@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import regex as rx
 
+from pawpaw_ray.kernels import guard
 from pawpaw_ray.kernels.spans import Retention, extract, split_by_boundaries, split_spans
 
 # ---------------------------------------------------------------------------
@@ -195,7 +196,7 @@ KEYED_PREFIX_RE = rx.compile(
 def keyed_prefix(text: str, span) -> tuple:
     """(key_span, rest_span) when the line starts with a list/legal prefix,
     else (None, span)."""
-    m = KEYED_PREFIX_RE.match(text, pos=span[0], endpos=span[1])
+    m = guard.match(KEYED_PREFIX_RE, text, span[0], span[1], trusted=True)
     if m is None:
         return None, span
     return m.span("key"), (m.end(), span[1])
@@ -250,18 +251,18 @@ def segment_text(
     descs: list[int] = [D_DOC]
     parents: list[int] = [-1]
 
-    for p_span in split_spans(text, (0, len(text)), PARAGRAPH_RE):
+    for p_span in split_spans(text, (0, len(text)), PARAGRAPH_RE, trusted=True):
         p_idx = len(starts)
         starts.append(p_span[0]); stops.append(p_span[1])
         descs.append(D_PARA); parents.append(0)
 
-        for s_span in split_spans(text, p_span, SENTENCE_RE):
+        for s_span in split_spans(text, p_span, SENTENCE_RE, trusted=True):
             s_idx = len(starts)
             starts.append(s_span[0]); stops.append(s_span[1])
             descs.append(D_SENT); parents.append(p_idx)
 
             # number boundaries within the sentence
-            num_nodes = extract(text, s_span, NUMBER_RE, _NUM_GROUP_KEYS)
+            num_nodes = extract(text, s_span, NUMBER_RE, _NUM_GROUP_KEYS, trusted=True)
             num_roots = [(i, nd) for i, nd in enumerate(num_nodes) if nd[3] == -1]
             pieces = split_by_boundaries(
                 s_span, [(nd[0], nd[1]) for _, nd in num_roots], Retention.ALL
@@ -284,7 +285,7 @@ def segment_text(
                         j += 1
                 else:
                     # delegate: words extracted from the non-number piece
-                    for w in extract(text, (ps, pe), WORD_RE, ["word"]):
+                    for w in extract(text, (ps, pe), WORD_RE, ["word"], trusted=True):
                         starts.append(w[0]); stops.append(w[1])
                         descs.append(D_WORD); parents.append(s_idx)
 

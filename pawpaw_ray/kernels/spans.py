@@ -21,6 +21,8 @@ from __future__ import annotations
 import enum
 from typing import Callable, Iterable, Sequence
 
+from pawpaw_ray.kernels import guard
+
 Span = tuple[int, int]
 Node = tuple[int, int, str | None, int]  # (start, stop, desc, parent_idx)
 
@@ -120,6 +122,7 @@ def extract(
     desc_func: Callable[[object, int | str], str | None] | None = None,
     limit: int | None = None,
     base: int = 0,
+    trusted: bool = False,
 ) -> list[Node]:
     """Run ``pattern.finditer`` windowed to ``span`` and nest each match.
 
@@ -137,7 +140,7 @@ def extract(
 
     nodes: list[Node] = []
     n_roots = 0
-    for m in pattern.finditer(text, pos=span[0], endpos=span[1]):
+    for m in guard.finditer(pattern, text, span[0], span[1], trusted=trusted):
         sub = nest_match(m, group_keys, desc_func, base=base + len(nodes))
         if not sub:
             continue
@@ -228,6 +231,7 @@ def split_spans(
     retention: Retention = Retention.NONE,
     return_zero_split: bool = True,
     limit: int | None = None,
+    trusted: bool = False,
 ) -> list[Span]:
     """Split by a regex: boundaries are the group-0 spans of each match.
 
@@ -236,7 +240,7 @@ def split_spans(
     (``split.py:70-76``).  Returns only the segment/boundary spans in order
     (callers that need the boundary flag use :func:`split_by_boundaries`).
     """
-    bounds = [m.span() for m in pattern.finditer(text, pos=span[0], endpos=span[1])]
+    bounds = [m.span() for m in guard.finditer(pattern, text, span[0], span[1], trusted=trusted)]
     return [s for s, _ in split_by_boundaries(span, bounds, retention, return_zero_split, limit)]
 
 
@@ -350,7 +354,7 @@ def to_line_col(text: str, pos: int, eol) -> tuple[int, int]:
     if hasattr(eol, "finditer"):  # compiled pattern
         line = 1
         m = None
-        for m in eol.finditer(text, endpos=pos):
+        for m in guard.finditer(eol, text, 0, pos):
             line += 1
         col = 1 + (pos if m is None else pos - m.span()[1])
         return line, col

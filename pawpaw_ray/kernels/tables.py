@@ -18,6 +18,8 @@ import dataclasses
 
 import regex as rx
 
+from pawpaw_ray.kernels import guard
+
 _PAT_INDENT = r"[ \t]*"
 
 # equidistant-indentation chunk prefilter (table.py:32-33)
@@ -106,7 +108,7 @@ def extract_grid_tables(text: str, span: tuple[int, int] | None = None) -> list[
     rows: [[cells]...], start, stop}]."""
     s, e = span or (0, len(text))
     out = []
-    for m in GRID_RE.finditer(text, pos=s, endpos=e):
+    for m in guard.finditer(GRID_RE, text, s, e, trusted=True):
         header = m.group("header_row")
         out.append({
             "header": split_cells(header) if header is not None else None,
