@@ -333,11 +333,12 @@ def _q_ann_topk_lsh(sf_dir: str):
     from pawpaw_ray.stages.similarity import ann_topk_lsh
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    # 6-bit codes + Hamming-radius-2 multi-probe: ~35% of the table scanned;
-    # recall on the structure-free fixture embeddings tracks the scan
-    # fraction (documented bound — tests/test_neardup_multimodal.py gates
-    # recall on the structured fixture)
-    out = ann_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K, n_bits=6, probe_radius=2)
+    # 16-bit codes x 4 tables + Hamming-radius-2 multi-probe: ~1-3% of the
+    # table scanned (asserted in tests/test_neardup_multimodal.py); recall
+    # on the structure-free fixture embeddings necessarily tracks the scan
+    # fraction — the structured pytest fixture is where recall is gated
+    out = ann_topk_lsh(emb, ANN_QUERY_IDS, k=ANN_K, n_bits=16,
+                       probe_radius=2, n_tables=4)
     return out[["query_id", "vec_id", "rank"]]
 
 

@@ -149,6 +149,16 @@ def _hyperplanes(n_bits: int, dim: int, seed: int = 11) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def _hyperplanes_mt(n_bits: int, dim: int, n_tables: int,
+                    seed: int = 11) -> np.ndarray:
+    """(n_tables, n_bits, dim) plane tensor; table 0 equals
+    ``_hyperplanes(n_bits, dim, seed)`` (same RNG stream prefix), so
+    ``n_tables=1`` reproduces the single-table operator exactly."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables * n_bits, dim)).reshape(
+        n_tables, n_bits, dim)
+
+
 def _signs_to_codes(signs: np.ndarray) -> np.ndarray:
     """(n, bits) bool → uint64 codes."""
     weights = (1 << np.arange(signs.shape[1], dtype=np.uint64))
@@ -183,32 +193,51 @@ class _LshProbeScorer:
     def __init__(self, state_ref, k: int, id_col: str, vec_col: str):
         import ray
         s = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
-        self.H = s["H"]
-        self.wanted = s["wanted"]  # sorted uint64 probe codes
+        self.H = s["H"]  # (n_tables, n_bits, dim)
+        self.wanted = s["wanted"]  # per-table sorted uint64 probe codes
         self.scorer = CosineTopK({"ids": s["ids"], "matrix": s["matrix"]},
                                  k, id_col, vec_col)
         self.vec_col = vec_col
+
+    def _candidate_mask(self, M: np.ndarray) -> np.ndarray:
+        # one fused matmul for all tables, then per-table membership OR
+        L, bits, dim = self.H.shape
+        signs = (M @ self.H.reshape(L * bits, dim).T) > 0
+        mask = np.zeros(len(M), dtype=bool)
+        for t in range(L):
+            codes = _signs_to_codes(signs[:, t * bits:(t + 1) * bits])
+            mask |= np.isin(codes, self.wanted[t])
+        return mask
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:  # _to_matrix can't reshape an empty block
             return self.scorer(batch)
         M = _to_matrix(batch[self.vec_col])
-        codes = _signs_to_codes((M @ self.H.T) > 0)
-        mask = np.isin(codes, self.wanted)
-        return self.scorer(batch.filter(pa.array(mask)))
+        return self.scorer(batch.filter(pa.array(self._candidate_mask(M))))
 
 
 def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
                  n_bits: int = 8, probe_radius: int = 2,
+                 n_tables: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int | None = None) -> pd.DataFrame:
     """Approximate top-k: score only rows whose hyperplane code lies within
-    Hamming ``probe_radius`` of a query's code (multi-probe LSH).
+    Hamming ``probe_radius`` of a query's code in ANY of the ``n_tables``
+    independent tables (multi-probe, multi-table LSH).
 
     Batch-probe semantics: ONE shared candidate scan — the union of every
-    query's Hamming ball — is scored against every query (a candidate probed
-    for query A is eligible for query B's top-k too; with per-query balls
-    the scan would repeat per query for strictly less recall).
+    query's Hamming ball across tables — is scored against every query (a
+    candidate probed for query A is eligible for query B's top-k too; with
+    per-query balls the scan would repeat per query for strictly less
+    recall).
+
+    Selectivity vs recall: expected scan fraction ≈
+    ``n_tables * n_queries * sum_{i<=r} C(n_bits, i) / 2^n_bits``; recall
+    per genuinely-near neighbor (bit-flip prob p = θ/π) ≈
+    ``1 - (1 - BinomCDF(r; n_bits, p))^n_tables``.  16 bits / radius 2 /
+    4 tables scans ~1-5% of a table while keeping ~0.99 recall at cosine
+    ≥0.9 — the 100 TB configuration; narrow codes (6 bits) degenerate to
+    a ~35% scan.
 
     Scale path: signature, probe filter and scoring are fused into one
     streaming map over the table.  Recall < 1 by construction — the
@@ -219,9 +248,12 @@ def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
 
     Q = _fetch_queries(embeddings_ds, query_ids, id_col, vec_col)
     dim = dim or Q.shape[1]
-    H = _hyperplanes(n_bits, dim)
-    q_codes = _signs_to_codes((Q @ H.T) > 0)
-    wanted = _probe_codes(q_codes, n_bits, probe_radius)
+    H = _hyperplanes_mt(n_bits, dim, n_tables)
+    wanted = []
+    for t in range(n_tables):
+        q_codes_t = _signs_to_codes((Q @ H[t].T) > 0)
+        wanted.append(_probe_codes(q_codes_t, n_bits, probe_radius))
+    q_codes = _signs_to_codes((Q @ H[0].T) > 0)  # table-0 codes (output col)
 
     sref = ray.put({"ids": list(query_ids), "matrix": Q, "H": H,
                     "wanted": wanted})

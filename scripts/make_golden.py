@@ -538,8 +538,8 @@ def golden_simhash(d: str, docs: pd.DataFrame) -> None:
 # ---------------------------------------------------------------------------
 
 def golden_ann_lsh(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
-                   n_bits: int = 6, probe_radius: int = 2,
-                   seed: int = 11) -> None:
+                   n_bits: int = 16, probe_radius: int = 2,
+                   n_tables: int = 4, seed: int = 11) -> None:
     from itertools import combinations
 
     t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
@@ -547,27 +547,30 @@ def golden_ann_lsh(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     E = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
-    H = rng.standard_normal((n_bits, E.shape[1]))
-    codes = ((E @ H.T) > 0).astype(np.uint64) @ (
-        1 << np.arange(n_bits, dtype=np.uint64))
+    Hs = rng.standard_normal((n_tables * n_bits, E.shape[1]))
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     M = E / norms
 
-    # batch-probe semantics (mirrors the operator's contract): ONE shared
-    # candidate set — the union of every query's Hamming ball — is scored
-    # against every query in a single pass
-    ball = set()
-    for qid in query_ids:
-        qi = int(np.flatnonzero(ids == qid)[0])
-        ball.add(int(codes[qi]))
-        for r in range(1, probe_radius + 1):
-            for bits in combinations(range(n_bits), r):
-                m = 0
-                for b in bits:
-                    m |= 1 << b
-                ball.add(int(codes[qi]) ^ m)
-    cand = np.isin(codes, np.asarray(sorted(ball), dtype=np.uint64))
+    # batch-probe, multi-table semantics (mirrors the operator's contract):
+    # ONE shared candidate set — the union over tables of every query's
+    # Hamming ball — is scored against every query in a single pass
+    cand = np.zeros(len(E), dtype=bool)
+    for ti in range(n_tables):
+        H = Hs[ti * n_bits:(ti + 1) * n_bits]
+        codes_t = ((E @ H.T) > 0).astype(np.uint64) @ (
+            1 << np.arange(n_bits, dtype=np.uint64))
+        ball = set()
+        for qid in query_ids:
+            qi = int(np.flatnonzero(ids == qid)[0])
+            ball.add(int(codes_t[qi]))
+            for r in range(1, probe_radius + 1):
+                for bits in combinations(range(n_bits), r):
+                    m = 0
+                    for b in bits:
+                        m |= 1 << b
+                    ball.add(int(codes_t[qi]) ^ m)
+        cand |= np.isin(codes_t, np.asarray(sorted(ball), dtype=np.uint64))
     rows = []
     for qid in query_ids:
         qi = int(np.flatnonzero(ids == qid)[0])

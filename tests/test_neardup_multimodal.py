@@ -103,6 +103,49 @@ def test_ann_topk_lsh_multiprobe_improves_recall(embeddings_ds):
     assert len(exact & r2) / 10 >= 0.8
 
 
+def test_ann_topk_lsh_production_params_selective_and_high_recall(ray_session):
+    """The driver configuration (16 bits / radius 2 / 4 tables) must scan
+    ≤5% of a large table while keeping recall ≥0.9 on genuinely-near
+    neighbors (cosine ≥0.9 planted pairs) — the 100 TB selectivity bar."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.similarity import (
+        _hyperplanes_mt, _probe_codes, _signs_to_codes, ann_topk_lsh)
+
+    rng = np.random.RandomState(9)
+    n, dim = 5000, 64
+    E = rng.standard_normal((n, dim))
+    # plant 5 near neighbors of query 0 (cosine ~0.95+)
+    planted = list(range(1, 6))
+    for j in planted:
+        E[j] = E[0] + 0.18 * rng.standard_normal(dim)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in E],
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    n_bits, radius, n_tables = 16, 2, 4
+    out = ann_topk_lsh(ds, [0], k=6, n_bits=n_bits, probe_radius=radius,
+                       n_tables=n_tables)
+    got = set(out["vec_id"])
+    assert 0 in got
+    recall = len(set(planted) & got) / len(planted)
+    assert recall >= 0.9, recall
+
+    # scan fraction: rebuild the (deterministic, seed-locked) probe masks
+    # exactly as the fused scorer does and count candidate rows
+    H = _hyperplanes_mt(n_bits, dim, n_tables)
+    Q = E[[0]]
+    cand = np.zeros(n, dtype=bool)
+    for t in range(n_tables):
+        codes = _signs_to_codes((E @ H[t].T) > 0)
+        wanted = _probe_codes(_signs_to_codes((Q @ H[t].T) > 0),
+                              n_bits, radius)
+        cand |= np.isin(codes, wanted)
+    frac = cand.mean()
+    assert 0 < frac <= 0.05, frac
+
+
 def test_media_pipeline(ray_session):
     import ray.data as rd
 
