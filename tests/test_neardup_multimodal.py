@@ -178,3 +178,31 @@ def test_media_pipeline(ray_session):
     # a non-synthetic payload must fail loudly (real codec is stubbed)
     with pytest.raises(NotImplementedError):
         FakeCodec().decode_meta(b"JPEG\x00\x00\x00\x00\x00\x00rubbish")
+
+
+def test_payload_batch_size_byte_aware(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.multimodal import (
+        _avg_payload_bytes,
+        ensure_media_parquet,
+        payload_batch_size,
+        synthesize_media,
+    )
+
+    # MB-scale production rows -> small batches; KB rows -> large batches
+    assert payload_batch_size(1 << 20) == 16   # 1 MB rows floor at lo
+    assert payload_batch_size(128 << 10) == 64
+    assert payload_batch_size(1 << 10) == 4096  # 1 KB rows cap at hi
+    assert payload_batch_size(0) == 4096
+
+    # metadata sniff matches the true mean within parquet-stats slack,
+    # without executing the dataset
+    path = ensure_media_parquet(300)
+    avg = _avg_payload_bytes(rd.read_parquet(path))
+    t = synthesize_media(300)
+    true_avg = sum(len(p.as_py()) for p in t["payload"]) / 300
+    assert avg is not None and abs(avg - true_avg) / true_avg < 0.10
+
+    # non-file-backed input falls back to None (pipeline uses default)
+    assert _avg_payload_bytes(rd.from_arrow(t.select(["payload"]))) is None
