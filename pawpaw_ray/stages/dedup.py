@@ -145,12 +145,14 @@ def _pairs_from_bucket(g: pd.DataFrame, all_pairs: bool = False,
     every in-bucket pair: required when pairs are then individually
     VERIFIED (a failed star edge must not disconnect a genuine pair among
     the remaining members).  Buckets larger than ``max_all_pairs`` fall
-    back to MULTI-hub stars (the h smallest ids each paired with every
-    member, h sized so the emitted pairs never exceed the all-pairs cost
-    at the threshold): a genuine pair disconnects only if ALL h hubs fail
-    verification against both sides — the quadratic blowup is the greater
-    evil at scale, and giant LSH buckets are near-identical text in
-    practice, so any hub connects the survivors.
+    back to MULTI-hub stars, hubs SPREAD evenly across the sorted id range
+    (h sized so the emitted pairs never exceed the all-pairs cost at the
+    threshold): a genuine pair disconnects only if ALL h hubs fail
+    verification against both sides, and because hubs sample the whole
+    range — not the h smallest ids — a cluster of adversarially-small
+    outlier ids cannot occupy every hub (round-2 advice).  The quadratic
+    blowup is the greater evil at scale, and giant LSH buckets are
+    near-identical text in practice, so any hub connects the survivors.
     """
     ids = np.sort(g["doc_id"].unique())
     n = len(ids)
@@ -160,14 +162,19 @@ def _pairs_from_bucket(g: pd.DataFrame, all_pairs: bool = False,
     if all_pairs and n <= max_all_pairs:
         iu, ju = np.triu_indices(n, k=1)
         return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-    n_hubs = (max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
-              if all_pairs else 1)
-    hub_a, hub_b = [], []
-    for h in range(n_hubs):
-        hub_a.append(np.repeat(ids[h], n - h - 1))
-        hub_b.append(ids[h + 1:])
-    return pd.DataFrame({"a": np.concatenate(hub_a),
-                         "b": np.concatenate(hub_b)})
+    if not all_pairs:
+        # unverified path: a single min-id star suffices for min-label CC
+        return pd.DataFrame({"a": np.repeat(ids[0], n - 1), "b": ids[1:]})
+    n_hubs = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
+    hub_idx = np.unique(np.linspace(0, n - 1, n_hubs).astype(np.int64))
+    a_parts, b_parts = [], []
+    for hi in hub_idx:
+        others = np.delete(ids, hi)
+        a_parts.append(np.minimum(ids[hi], others))
+        b_parts.append(np.maximum(ids[hi], others))
+    return (pd.DataFrame({"a": np.concatenate(a_parts),
+                          "b": np.concatenate(b_parts)})
+            .drop_duplicates(ignore_index=True))
 
 
 def _dedup_pairs(pairs_ds):

@@ -209,19 +209,31 @@ def test_pairs_from_bucket_multihub_fallback():
     n, cap = 40, 8  # n > max_all_pairs triggers the fallback
     g = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
     out = _pairs_from_bucket(g, all_pairs=True, max_all_pairs=cap)
-    n_hubs = max(1, min(n - 1, cap * cap // (2 * n)))
-    assert n_hubs == 1 or n_hubs > 1  # formula exercised
-    # every emitted pair involves one of the first n_hubs ids
-    assert set(out["a"]) <= set(range(n_hubs))
+    # single hub at this cap: the min id pairs with every member
+    pairs = set(zip(out["a"], out["b"]))
+    assert pairs == {(0, b) for b in range(1, n)}
     # cost bound: never more pairs than threshold all-pairs
     assert len(out) <= cap * (cap - 1) // 2 + n
-    # with a larger cap, multiple hubs appear
+    # with a larger cap, multiple hubs appear, SPREAD across the id range
     out2 = _pairs_from_bucket(g, all_pairs=True, max_all_pairs=20)
     hubs2 = 20 * 20 // (2 * n)
-    assert set(out2["a"]) == set(range(hubs2)) and hubs2 == 5
-    # hub h pairs with everything after it
-    for h in range(hubs2):
-        assert set(out2[out2["a"] == h]["b"]) == set(range(h + 1, n))
+    assert hubs2 == 5
+    touched = set(out2["a"]) | set(out2["b"])
+    hub_ids = {h for h in range(n)
+               if len(out2[(out2["a"] == h) | (out2["b"] == h)]) >= n - hubs2}
+    assert len(hub_ids) == hubs2
+    # hubs span the range (first and last ids included), not the smallest h
+    assert 0 in hub_ids and n - 1 in hub_ids
+    assert max(hub_ids) - min(hub_ids) == n - 1
+    # every member pairs with every hub (a<b normalized), no duplicates
+    for h in hub_ids:
+        partners = set(out2[out2["a"] == h]["b"]) | set(out2[out2["b"] == h]["a"])
+        assert partners == set(range(n)) - {h}
+    assert touched == set(range(n))
+    assert not out2.duplicated(["a", "b"]).any()
+    assert (out2["a"] < out2["b"]).all()
+    # cost bound holds for the multi-hub case too
+    assert len(out2) <= 20 * 19 // 2 + hubs2 * n
     # unverified path unchanged: single star
     star = _pairs_from_bucket(g, all_pairs=False, max_all_pairs=cap)
     assert set(star["a"]) == {0} and len(star) == n - 1
