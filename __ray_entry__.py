@@ -135,12 +135,17 @@ def _q_top_tokens(sf_dir: str):
         return pa.table({"token": list(c.keys()),
                          "n": pa.array(list(c.values()), pa.int64())})
 
-    partials = (_docs(sf_dir, ["text"])
-                .map_batches(partial_counts, batch_format="pyarrow")
-                .to_pandas())
-    agg = partials.groupby("token", sort=False)["n"].sum().reset_index()
-    agg = agg.sort_values(["n", "token"], ascending=[False, True],
-                          kind="mergesort").head(20).reset_index(drop=True)
+    from ray.data.aggregate import Sum
+
+    # distributed groupby-sum reduces the shuffle to vocabulary size
+    # BEFORE anything reaches the driver; the sort input is the bounded
+    # vocab table, and only 20 rows are ever pulled
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(partial_counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .sort(["n", "token"], descending=[True, False])
+           .limit(20)
+           .to_pandas())
     agg["n"] = agg["n"].astype("int64")
     return agg
 
@@ -342,6 +347,17 @@ def _q_ann_topk_lsh(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    import ray.data as rd
+    from pawpaw_ray.stages.similarity import ann_topk_ivf
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    # coarse-quantizer scale path: bounded splitmix64 training sample,
+    # union-of-probed-lists scan (≤ n_queries*n_probe/n_lists of the table)
+    out = ann_topk_ivf(emb, ANN_QUERY_IDS, k=ANN_K, n_lists=64, n_probe=4)
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payloads → actor-pool decode →
     features/resize-plan/frame-sample (decode kernel is a deterministic
@@ -487,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters": _q_simhash_clusters,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "media_features": _q_media_features,
         "xml_extract": _q_xml_extract,
         "langid": _q_langid,
@@ -741,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _golden_sql("media_features"),
         "simhash": _golden_sql("simhash"),
         "ann_topk_lsh": _golden_sql("ann_topk_lsh"),
+        "ann_topk_ivf": _golden_sql("ann_topk_ivf"),
         "ontology_mentions": _golden_sql("ontology_mentions"),
         "str_ops": _golden_sql("str_ops"),
         "format_grid": _golden_sql("format_grid"),

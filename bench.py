@@ -66,12 +66,15 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     else:
         names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
-                 "events_sessions", "ann_topk", "ann_topk_lsh", "simhash",
+                 "events_sessions", "ann_topk", "ann_topk_lsh",
+                 "ann_topk_ivf", "simhash",
                  "minhash_dedup", "near_dup_jaccard", "simhash_clusters",
                  "embedding_near_dup", "segment_stats", "plumule_select",
                  "q1_pricing", "top_customers", "region_revenue",
                  "table_extract", "media_features", "xml_extract",
-                 "langid", "fingerprint", "ontology_mentions")
+                 "langid", "fingerprint", "ontology_mentions",
+                 "lang_count", "top_sources", "numbers_extract",
+                 "str_ops", "format_grid", "xml_ns")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

@@ -274,6 +274,121 @@ def ann_topk_lsh(embeddings_ds, query_ids: list[int], k: int = 10,
     return out
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed variant — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_lite(X: np.ndarray, n_lists: int, n_iter: int = 8,
+                 seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means over a bounded, pre-normalized
+    training sample (cosine == dot).  Seeded init, empty lists keep their
+    previous centroid; a handful of Lloyd iterations is the standard IVF
+    coarse quantizer — list quality only shifts the recall/scan tradeoff,
+    never correctness (survivors are exactly re-scored)."""
+    rng = np.random.RandomState(seed)
+    n_lists = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+    return C
+
+
+class _IvfProbeScorer:
+    """Fused assign → probe-filter → score state: per batch, one matmul
+    against the centroid matrix assigns each row to its inverted list;
+    rows whose list is probed by ANY query get the cosine scoring — a
+    single streaming pass, no materialized inverted index (at rest the
+    assignment would be a persisted partition column; here it is cheaper
+    to recompute than to shuffle)."""
+
+    def __init__(self, state_ref, k: int, id_col: str, vec_col: str):
+        import ray
+        s = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.C = s["C"]  # (n_lists, dim) unit centroids
+        self.wanted = s["wanted"]  # sorted probed list ids (union over queries)
+        self.scorer = CosineTopK({"ids": s["ids"], "matrix": s["matrix"]},
+                                 k, id_col, vec_col)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # _to_matrix can't reshape an empty block
+            return self.scorer(batch)
+        M = _normalize(_to_matrix(batch[self.vec_col]))
+        assign = np.argmax(M @ self.C.T, axis=1)
+        return self.scorer(batch.filter(pa.array(np.isin(assign, self.wanted))))
+
+
+def ann_topk_ivf(embeddings_ds, query_ids: list[int], k: int = 10,
+                 n_lists: int = 64, n_probe: int = 4,
+                 train_size: int = 10_000, seed: int = 7,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: k-means centroids
+    from a bounded training sample partition the space into ``n_lists``
+    inverted lists; only rows in the ``n_probe`` lists nearest to any
+    query are scored.
+
+    Batch-probe semantics match :func:`ann_topk_lsh`: ONE shared candidate
+    scan — the union of every query's probed lists — is scored against
+    every query.  Expected scan fraction ≈ |union| / n_lists (≤
+    n_queries * n_probe / n_lists).
+
+    Scale shape: the training pull is a deterministic splitmix64 id-hash
+    sample BOUNDED at ~``train_size`` rows regardless of table size (block
+    order never affects it), k-means runs on that sample only, and the
+    scan is one fused streaming map — the table is never shuffled, indexed
+    or materialized.  Recall < 1 by construction; :func:`ann_topk` is the
+    exact baseline and tests gate recall@k against it.
+    """
+    import ray
+
+    from pawpaw_ray.stages.dedup import _splitmix64
+
+    n_rows = embeddings_ds.count()
+    mod = max(1, n_rows // train_size)
+
+    def train_filter(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64).view(np.uint64)
+        return b.filter(pa.array(_splitmix64(ids) % np.uint64(mod) == 0))
+
+    train = (embeddings_ds
+             .map_batches(train_filter, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(id_col))  # block-order-free determinism
+    X = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
+    C = _kmeans_lite(X, n_lists, seed=seed)
+
+    Q = _fetch_queries(embeddings_ds, query_ids, id_col, vec_col)
+    Qn = _normalize(Q)
+    n_probe = min(n_probe, C.shape[0])
+    probes = np.argpartition(-(Qn @ C.T), n_probe - 1, axis=1)[:, :n_probe]
+    wanted = np.unique(probes)
+
+    sref = ray.put({"ids": list(query_ids), "matrix": Q, "C": C,
+                    "wanted": wanted})
+    key = ("ivf_probe", sref.hex(), k, id_col, vec_col)
+
+    def probe_score_batch(batch: pa.Table) -> pa.Table:
+        inst = _cached_state(
+            key, lambda: _IvfProbeScorer(sref, k, id_col, vec_col))
+        return inst(batch)
+
+    partials = embeddings_ds.map_batches(
+        probe_score_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
+    out = _merge_partials(partials, k)
+    list_of = dict(zip(query_ids, np.argmax(Qn @ C.T, axis=1).tolist()))
+    out["ivf_list"] = np.asarray([list_of[q] for q in out["query_id"]],
+                                 dtype=np.int64)
+    return out
+
+
 class MultiTableSigner:
     """L independent hyperplane signatures per row — one output row per
     (table, code).  Multiple tables are the standard recall fix for cosine

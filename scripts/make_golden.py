@@ -583,6 +583,61 @@ def golden_ann_lsh(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
     _write(d, "ann_topk_lsh", df)
 
 
+def golden_ann_ivf(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
+                   n_lists: int = 64, n_probe: int = 4,
+                   train_size: int = 10_000, seed: int = 7) -> None:
+    """IVF ANN recompute: same contract as the operator (splitmix64-hash
+    training sample, seeded spherical k-means, union-of-probed-lists shared
+    candidate scan), derived here as one single-process pass.  Float ops
+    use the same numpy kernels (matmul/argmax) — bit-identical results
+    require identical rounding, exactly as golden_ann_lsh does."""
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    M = E / norms
+
+    # training sample: splitmix64(id) % mod == 0, rows in id order
+    mod = max(1, len(ids) // train_size)
+    z = ids.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    sample = np.flatnonzero(z % np.uint64(mod) == 0)
+    sample = sample[np.argsort(ids[sample], kind="stable")]
+    X = M[sample]
+
+    rng = np.random.RandomState(seed)
+    nl = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=nl, replace=False)].copy()
+    for _ in range(8):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(nl):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+
+    qi = np.asarray([int(np.flatnonzero(ids == q)[0]) for q in query_ids])
+    np_ = min(n_probe, nl)
+    probes = np.argpartition(-(M[qi] @ C.T), np_ - 1, axis=1)[:, :np_]
+    cand = np.isin(np.argmax(M @ C.T, axis=1), np.unique(probes))
+
+    rows = []
+    for qn, q in enumerate(query_ids):
+        sims = M[cand] @ M[qi[qn]]
+        cids = ids[cand]
+        order = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((q, int(cids[j]), rank))
+    _write(d, "ann_topk_ivf",
+           pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"]))
+
+
 # ---------------------------------------------------------------------------
 # ontology discovery: the REFERENCE Ontology engine over the demo concept
 # tree (true reference-implementation oracle, not a reimplementation)
@@ -715,6 +770,7 @@ def main() -> None:
     golden_media(d)
     golden_simhash(d, docs)
     golden_ann_lsh(d)
+    golden_ann_ivf(d)
     golden_ontology(d, docs)
     golden_str_ops(d, docs)
     golden_format_grid(d, docs)
