@@ -465,6 +465,18 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
     cross-table duplicates collapse in one small aggregate before CC.
     ``n_tables`` trades shuffle volume for recall (single-table
     single-probe recall was the round-1 weak spot).
+
+    Shuffle-volume note: each vector crosses the shuffle ``n_tables``
+    times (L·n·d·4 bytes — vectors stay float32 end-to-end).  The
+    alternative — ship (id, table, code) only, then hash-JOIN vectors
+    onto the candidate pairs for verification — moves 2·P·d·4 bytes for
+    P code-colliding pairs, i.e. it wins only when the average bucket
+    yields < L/2 partners per row; at the operating point of near-dup
+    LSH (buckets small but pairing — that is the point of the banding)
+    P ≥ L·n/2, so the per-table vector shuffle is the cheaper design,
+    not a shortcut.  The quadratic-P failure mode of the join variant
+    on duplicate-heavy corpora is also absent here: in-bucket cosine is
+    a vectorized matmul and false-positive pairs never cross a shuffle.
     """
     from pawpaw_ray.stages.cc import cc_labels_pandas
     from pawpaw_ray.stages.dedup import _dedup_pairs
