@@ -168,8 +168,58 @@ def render_json(text: str, spans, vocab=None, indent: str = "    ") -> str:
     return "".join(out)
 
 
+_BACK_RESET = "\x1b[49m"
+_DEFAULT_PALETTE = tuple(f"\x1b[{n}m" for n in (41, 42, 43, 44, 45, 46))
+
+
+def render_highlight(text: str, spans, vocab=None,
+                     palette=_DEFAULT_PALETTE, predicate=None) -> str:
+    """``visualization.Highlighter`` analog
+    (``/root/reference/pawpaw/visualization/highlighter.py:8-51``): ANSI
+    background colors over the span tree, guaranteed to differ across any
+    node boundary.  Same traversal as the reference — depth-first; a
+    parent's text not covered by children is emitted as its own segments;
+    every emitted segment (passing ``predicate``, by desc) advances the
+    color cycle.  Stripping the SGR codes recovers the text exactly."""
+    from itertools import cycle
+
+    nodes, children, roots = _nodes(spans, vocab)
+    backs = cycle(palette)
+    out: list[str] = []
+
+    def compose(i: int, lo: int, hi: int) -> None:
+        if lo >= hi:  # the reference emits nothing for empty segments
+            return
+        seg = text[lo:hi]
+        if predicate is None or predicate(nodes[i][2]):
+            out.append(f"{next(backs)}{seg}{_BACK_RESET}")
+        else:
+            out.append(seg)
+
+    def walk(i: int) -> None:
+        start, stop, _ = nodes[i]
+        kids = children.get(i, ())
+        if not kids:
+            compose(i, start, stop)
+            return
+        last = start
+        for c in kids:
+            cs, cstop = nodes[c][0], nodes[c][1]
+            if last < cs:
+                compose(i, last, cs)
+            walk(c)
+            last = cstop
+        if last < stop:
+            compose(i, last, stop)
+
+    for r in roots:
+        walk(r)
+    return "".join(out)
+
+
 _STYLES = {"compact": render_compact, "tree": render_tree,
-           "xml": render_xml, "json": render_json}
+           "xml": render_xml, "json": render_json,
+           "highlight": render_highlight}
 
 
 def show(ds, k: int = 3, style: str = "tree", text_col: str = "text",

@@ -95,3 +95,68 @@ def test_show_limits_pull(ray_session):
     assert out.count("--- doc_id=") == 2
     # each shown row's root line carries the Document desc
     assert out.count("'Document'") == 2
+
+
+_REF_HL_RUNNER = r"""
+import io, json, sys
+sys.modules['_elementtree'] = None
+sys.path.insert(0, '/root/reference')
+import pawpaw
+from pawpaw.visualization import sgr
+from pawpaw.visualization.highlighter import Highlighter
+
+payload = json.loads(sys.stdin.read())
+text, spans = payload["text"], payload["spans"]
+itos = [pawpaw.Ito(text, sp["start"], sp["stop"], payload["vocab"][sp["desc"]])
+        for sp in spans]
+roots = []
+for i, sp in enumerate(spans):
+    p = sp["parent"]
+    if p < 0:
+        roots.append(itos[i])
+    else:
+        itos[p].children.add(itos[i])
+
+h = Highlighter([sgr.Colors.Named.RED, sgr.Colors.Named.GREEN,
+                 sgr.Colors.Named.BLUE])
+buf = io.StringIO()
+stdout, sys.stdout = sys.stdout, buf
+for r in roots:
+    h.print(r)
+sys.stdout = stdout
+print(json.dumps(buf.getvalue()))
+"""
+
+
+def test_highlighter_parity():
+    """render_highlight vs the reference Highlighter: same traversal, same
+    SGR codes (named-color palette), byte-for-byte."""
+    from pawpaw_ray.viz import render_highlight
+
+    spans = _spans(TEXT)
+    payload = json.dumps({"text": TEXT, "spans": spans, "vocab": DESC_VOCAB})
+    theirs = json.loads(subprocess.run(
+        [sys.executable, "-c", _REF_HL_RUNNER], input=payload,
+        capture_output=True, text=True, check=True).stdout)
+    ours = render_highlight(
+        TEXT, spans, vocab=DESC_VOCAB,
+        palette=("\x1b[41m", "\x1b[42m", "\x1b[44m"))
+    assert ours == theirs
+
+
+def test_highlighter_strip_recovers_text():
+    import re
+
+    from pawpaw_ray.viz import render_highlight
+
+    spans = _spans(TEXT)
+    out = render_highlight(TEXT, spans, vocab=DESC_VOCAB)
+    assert re.sub(r"\x1b\[\d+m", "", out) == TEXT
+    # predicate gates coloring but never drops text (leaf 'word' nodes
+    # emit colored segments; 'sentence' nodes are fully covered by
+    # children here, so their own segments are gaps only)
+    out2 = render_highlight(TEXT, spans, vocab=DESC_VOCAB,
+                            predicate=lambda d: d == "word")
+    assert re.sub(r"\x1b\[\d+m", "", out2) == TEXT
+    assert out2.count("\x1b[41m") >= 1
+    assert len(out2) < len(out)  # fewer colored segments than color-all
