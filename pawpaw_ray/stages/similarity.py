@@ -328,8 +328,8 @@ class _IvfProbeScorer:
 def ann_topk_ivf(embeddings_ds, query_ids: list[int], k: int = 10,
                  n_lists: int = 64, n_probe: int = 4,
                  train_size: int = 10_000, seed: int = 7,
-                 id_col: str = "vec_id", vec_col: str = "embedding"
-                 ) -> pd.DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_rows: int | None = None) -> pd.DataFrame:
     """Approximate top-k via an IVF coarse quantizer: k-means centroids
     from a bounded training sample partition the space into ``n_lists``
     inverted lists; only rows in the ``n_probe`` lists nearest to any
@@ -344,28 +344,42 @@ def ann_topk_ivf(embeddings_ds, query_ids: list[int], k: int = 10,
     sample BOUNDED at ~``train_size`` rows regardless of table size (block
     order never affects it), k-means runs on that sample only, and the
     scan is one fused streaming map — the table is never shuffled, indexed
-    or materialized.  Recall < 1 by construction; :func:`ann_topk` is the
-    exact baseline and tests gate recall@k against it.
+    or materialized.  The query vectors ride the same filtered pull as the
+    training sample, so the operator makes exactly TWO passes over the
+    table: one tiny filtered pull, one probe-scoring scan.  For a
+    file-backed input ``count()`` is parquet metadata; for a COMPUTED
+    input it would execute the lineage a third time — pass ``n_rows`` (or
+    materialize upstream) in that case, cf. the size-gate note in
+    ``dedup._lsh_pairs``.  Recall < 1 by construction; :func:`ann_topk`
+    is the exact baseline and tests gate recall@k against it.
     """
+    import pyarrow.compute as pc
     import ray
 
     from pawpaw_ray.stages.dedup import _splitmix64
 
-    n_rows = embeddings_ds.count()
+    n_rows = embeddings_ds.count() if n_rows is None else n_rows
     mod = max(1, n_rows // train_size)
+    qid_set = pa.array(list(query_ids), pa.int64())
 
-    def train_filter(b: pa.Table) -> pa.Table:
+    def train_or_query_filter(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64).view(np.uint64)
-        return b.filter(pa.array(_splitmix64(ids) % np.uint64(mod) == 0))
+        keep = _splitmix64(ids) % np.uint64(mod) == 0
+        keep |= pc.is_in(b[id_col], value_set=qid_set).to_numpy(
+            zero_copy_only=False)
+        return b.filter(pa.array(keep))
 
-    train = (embeddings_ds
-             .map_batches(train_filter, batch_format="pyarrow")
-             .to_pandas()
-             .sort_values(id_col))  # block-order-free determinism
+    pulled = (embeddings_ds
+              .map_batches(train_or_query_filter, batch_format="pyarrow")
+              .to_pandas()
+              .sort_values(id_col))  # block-order-free determinism
+    ids_u64 = pulled[id_col].to_numpy(np.int64).view(np.uint64)
+    train = pulled[_splitmix64(ids_u64) % np.uint64(mod) == 0]
     X = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
     C = _kmeans_lite(X, n_lists, seed=seed)
 
-    Q = _fetch_queries(embeddings_ds, query_ids, id_col, vec_col)
+    Q = np.stack(pulled.set_index(id_col)[vec_col]
+                 .loc[list(query_ids)].to_numpy()).astype(np.float64)
     Qn = _normalize(Q)
     n_probe = min(n_probe, C.shape[0])
     probes = np.argpartition(-(Qn @ C.T), n_probe - 1, axis=1)[:, :n_probe]
