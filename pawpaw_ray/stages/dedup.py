@@ -118,9 +118,14 @@ class MinHashLSH:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_band, out_hash, out_id = [], [], []
+        # utf8 byte length per doc rides the signature table so downstream
+        # byte-aware gates never re-scan the text column (see near_dup_jaccard)
+        nbytes = pc.binary_length(
+            batch[self.text_col].cast(pa.binary())).to_pylist()
+        out_band, out_hash, out_id, out_nb = [], [], [], []
         for i, text in enumerate(texts):
             sig = minhash_signature(text, self.seeds, self.k)
             for band in range(self.bands):
@@ -129,10 +134,12 @@ class MinHashLSH:
                 out_band.append(band)
                 out_hash.append(h)
                 out_id.append(ids[i])
+                out_nb.append(nbytes[i] or 0)
         return pa.table({
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.string()),
             "doc_id": pa.array(out_id, pa.int64()),
+            "n_text_bytes": pa.array(out_nb, pa.int64()),
         })
 
 
@@ -246,7 +253,8 @@ def _pairs_single_task(g: pd.DataFrame, all_pairs: bool,
 def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
                text_col: str, all_pairs: bool = False,
                distinct: bool = True,
-               small_band_rows: int | None = None):
+               small_band_rows: int | None = None,
+               return_doc_bytes: bool = False):
     """documents → LSH candidate-pair Dataset (a, b).
 
     ``distinct=False`` skips the pair-dedup shuffle — correct whenever the
@@ -256,7 +264,14 @@ def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
     The size gate counts the materialized band table (signatures only,
     ~40 B/row) rather than ``docs_ds`` — a computed, non-read-backed input
     therefore executes its lineage exactly ONCE, and the groupby below
-    buffers its input anyway (AllToAll), so the pin costs nothing extra."""
+    buffers its input anyway (AllToAll), so the pin costs nothing extra.
+
+    ``return_doc_bytes=True`` additionally returns a (doc_id, n_text_bytes)
+    Dataset carved from the materialized band table (band-0 rows) — the
+    byte-aware verification gate reads THIS instead of re-scanning the
+    text column of ``docs_ds``."""
+    import pyarrow.compute as pc
+
     from pawpaw_ray.tuning import shuffle_buckets
 
     if small_band_rows is None:
@@ -264,12 +279,19 @@ def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
     bands_ds = docs_ds.map_batches(
         _lsh_signature_fn(num_perm, bands, k, id_col, text_col),
         batch_format="pyarrow").materialize()
+    doc_bytes_ds = None
+    if return_doc_bytes:
+        doc_bytes_ds = bands_ds.map_batches(
+            lambda b: b.filter(pc.equal(b["band"], 0))
+                       .select(["doc_id", "n_text_bytes"]),
+            batch_format="pyarrow")
     n_rows = bands_ds.count()
     if n_rows <= small_band_rows:
-        return (bands_ds.repartition(1)
-                .map_batches(lambda g: _pairs_single_task(g, all_pairs,
-                                                          distinct),
-                             batch_format="pandas", batch_size=None))
+        pairs = (bands_ds.repartition(1)
+                 .map_batches(lambda g: _pairs_single_task(g, all_pairs,
+                                                           distinct),
+                              batch_format="pandas", batch_size=None))
+        return (pairs, doc_bytes_ds) if return_doc_bytes else pairs
     n_buckets = shuffle_buckets()
     pairs = (bands_ds
              .map_batches(lambda b: _bucketize_band_hash(b, n_buckets),
@@ -277,7 +299,8 @@ def _lsh_pairs(docs_ds, num_perm: int, bands: int, k: int, id_col: str,
              .groupby("bucket")
              .map_groups(lambda g: _pairs_from_bucket_group(g, all_pairs),
                          batch_format="pandas"))
-    return _dedup_pairs(pairs) if distinct else pairs
+    pairs = _dedup_pairs(pairs) if distinct else pairs
+    return (pairs, doc_bytes_ds) if return_doc_bytes else pairs
 
 
 def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
@@ -502,8 +525,10 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
     """
     from pawpaw_ray.stages.cc import cc_labels_pandas
 
-    pairs_ds = _lsh_pairs(docs_ds, num_perm, bands, k, id_col, text_col,
-                          all_pairs=True).materialize()
+    pairs_ds, doc_bytes_ds = _lsh_pairs(docs_ds, num_perm, bands, k, id_col,
+                                        text_col, all_pairs=True,
+                                        return_doc_bytes=True)
+    pairs_ds = pairs_ds.materialize()
     ids_ds = docs_ds.select_columns([id_col])
 
     if pairs_ds.count() == 0:
@@ -527,16 +552,18 @@ def near_dup_jaccard(docs_ds, threshold: float = 0.8, num_perm: int = 64,
         cand_ids = pa.array(np.sort(
             distinct_nodes.to_pandas()["n"].to_numpy(np.int64)))
         # byte-aware leg of the gate (the count alone says nothing about
-        # text volume): one small distributed sum of the candidates' utf8
-        # byte lengths — only the per-block int64 partials reach the driver
+        # text volume): sum the candidates' utf8 byte lengths from the
+        # (doc_id, n_text_bytes) side table the signature pass already
+        # produced — no re-scan of the text column, no extra lineage
+        # execution for computed inputs; only int64 partials move
         def cand_text_bytes(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            t = b.filter(pc.is_in(b[id_col], value_set=cand_ids))
-            nb = pc.sum(pc.binary_length(t[text_col])).as_py() or 0
+            t = b.filter(pc.is_in(b["doc_id"], value_set=cand_ids))
+            nb = pc.sum(t["n_text_bytes"]).as_py() or 0
             return pa.table({"nb": pa.array([nb], pa.int64())})
 
-        total_bytes = (docs_ds.map_batches(cand_text_bytes,
-                                           batch_format="pyarrow")
+        total_bytes = (doc_bytes_ds.map_batches(cand_text_bytes,
+                                                batch_format="pyarrow")
                        .sum("nb") or 0)
         use_broadcast = total_bytes <= broadcast_cand_bytes
 
@@ -620,14 +647,20 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
             iu, ju = np.triu_indices(n, k=1)
             keep = d[iu, ju] <= max_hamming
             return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]]})
-        # multi-hub stars: h smallest ids each verified against every
-        # member; identical/near-identical signatures (the only way a band
-        # bucket gets this big) stay connected through any surviving hub
+        # multi-hub stars, hubs SPREAD across the sorted id range (same
+        # rationale as _pairs_from_bucket: the h smallest ids could all be
+        # outliers and mask genuine pairs); identical/near-identical
+        # signatures (the only way a band bucket gets this big) stay
+        # connected through any surviving hub
         h = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
-        d = _hamming_matrix(sigs[:h], sigs)
+        hub_idx = np.unique(np.linspace(0, n - 1, h).astype(np.int64))
+        d = _hamming_matrix(sigs[hub_idx], sigs)
         hi, mj = np.nonzero(d <= max_hamming)
-        keep = mj > hi
-        return pd.DataFrame({"a": ids[hi[keep]], "b": ids[mj[keep]]})
+        a, b = ids[hub_idx[hi]], ids[mj]
+        keep = a != b
+        return (pd.DataFrame({"a": np.minimum(a, b)[keep],
+                              "b": np.maximum(a, b)[keep]})
+                .drop_duplicates(ignore_index=True))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated(["band", "band_key"], keep=False)]  # collisions only

@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import regex as rx
 
+from pawpaw_ray.stages.dedup import _splitmix64
+
 # RE2-compatible token pattern (shared verbatim with the DuckDB oracle SQL)
 TOKEN_PATTERN = r"[A-Za-z0-9_]+"
 _TOKEN_RX = rx.compile(TOKEN_PATTERN)
@@ -76,8 +78,6 @@ def fingerprint64(norm: str) -> int:
     the windows are assembled with 8 shifted uint64 slice-adds (no per-byte
     Python loop; the round-2 per-byte FNV kernel was ~200x slower per MB,
     see BASELINE.md)."""
-    from pawpaw_ray.stages.dedup import _splitmix64
-
     buf = norm[:4096].encode()
     if not buf:
         return 0
