@@ -457,6 +457,24 @@ def _q_xml_ns(sf_dir: str):
     return src.map_batches(xml_ns_batch, batch_format="pyarrow")
 
 
+def _q_str_esc(sf_dir: str):
+    """Escape-aware util grid (kernels/strutil.py: find_escapes /
+    find_unescaped / split_unescaped / find_balanced incl. ValueError
+    parity); golden = reference ``pawpaw.util`` over the identical grid
+    (make_golden.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pawpaw_ray.stages.rowfns import ESC_N_CASES, esc_ops_batch
+
+    n = max(200, _turns_for(sf_dir) // 100)
+    pairs = [(i, c) for i in range(n) for c in range(ESC_N_CASES)]
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "case": pa.array([p[1] for p in pairs], pa.int32())}))
+    return src.map_batches(esc_ops_batch, batch_format="pyarrow")
+
+
 def _q_ontology_mentions(sf_dir: str):
     """Hierarchical ontology discovery (reference ``Ontology.discover``,
     ``/root/reference/pawpaw/ontology/ontology.py:60-70``) over documents:
@@ -515,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "str_ops": _q_str_ops,
         "format_grid": _q_format_grid,
         "xml_ns": _q_xml_ns,
+        "str_esc": _q_str_esc,
     }
 
 
@@ -763,4 +782,5 @@ def oracle_sql() -> dict[str, str]:
         "str_ops": _golden_sql("str_ops"),
         "format_grid": _golden_sql("format_grid"),
         "xml_ns": _golden_sql("xml_ns"),
+        "str_esc": _golden_sql("str_esc"),
     }

@@ -176,3 +176,78 @@ def xml_ns_batch(batch: pa.Table, id_col: str = "doc_id",
         "attrs": pa.array(attrs, pa.string()),
         "head_text": pa.array(heads, pa.string()),
     })
+
+
+# --- escape-aware util grid (kernels/strutil.py vs reference pawpaw.util) ---
+
+ESC_N_CASES = 8
+
+
+def esc_subject(i: int, case: int) -> str:
+    """Deterministic escape/balance subject ``case`` for row ``i``: plain
+    separators, escaped separators, doubled escapes, nested/sibling braces,
+    lchar==rchar delimiters, a trailing DOUBLED escape (valid), a trailing
+    single escape (ValueError parity), and an unbalanced brace (ditto)."""
+    w = f"w{i}"
+    return [
+        f"{w} plain, text. with, seps.",
+        rf"{w} escaped\, comma \\ and \. dot,end",
+        rf"\\{w}\\\\,mid\,tail,{i}",
+        f"{{{w} {{inner{i}}} tail}} {{b{i}}} (par(en{i})s) [sq,{i}]",
+        f"|{w}|mid|{i}|",
+        rf"{w} trailing doubled escape ok \\",
+        f"{w} bad trailing" + "\\",
+        f"{w} {{open{i} never closed",
+    ][case]
+
+
+# (op key, args) — results JSON-encoded; ValueError parity captured as ERR
+ESC_OPS = [
+    ("escapes", None),
+    ("unescaped", ",."),
+    ("unescaped", "|"),
+    ("split", ","),
+    ("balanced", "{}"),
+    ("balanced", "()"),
+    ("balanced", "[]"),
+    ("balanced", "||"),
+]
+
+
+def _esc_op_result(s: str, op: str, arg) -> str:
+    import json
+
+    from pawpaw_ray.kernels import strutil as su
+
+    try:
+        if op == "escapes":
+            return json.dumps(list(su.find_escapes(s)))
+        if op == "unescaped":
+            return json.dumps(list(su.find_unescaped(s, arg)))
+        if op == "split":
+            return json.dumps(list(su.split_unescaped(s, arg)))
+        if op == "balanced":
+            return json.dumps(list(su.find_balanced(s, arg[0], arg[1])))
+        raise KeyError(op)
+    except ValueError:
+        # messages differ cosmetically between the implementations ("found
+        # at index" vs "at index") — the TYPE raised is the contract
+        return "ERR:ValueError"
+
+
+def esc_ops_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    ids, cases, op_keys, results = [], [], [], []
+    for i, case in zip(batch[id_col].to_pylist(),
+                       batch["case"].to_pylist()):
+        s = esc_subject(i, case)
+        for op, arg in ESC_OPS:
+            ids.append(i)
+            cases.append(case)
+            op_keys.append(f"{op}:{arg}" if arg is not None else op)
+            results.append(_esc_op_result(s, op, arg))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "case": pa.array(cases, pa.int32()),
+        "op": pa.array(op_keys, pa.string()),
+        "result": pa.array(results, pa.string()),
+    })

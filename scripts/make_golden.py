@@ -757,6 +757,43 @@ def golden_xml_ns(d: str) -> None:
         rows, columns=["doc_id", "el_ord", "tag", "attrs", "head_text"]))
 
 
+def golden_str_esc(d: str) -> None:
+    """Escape-aware util grid: the REFERENCE ``pawpaw.util`` functions
+    (find_escapes/find_unescaped/split_unescaped/find_balanced) over the
+    shared subject grid; ValueError parity encoded as ERR rows."""
+    import json
+
+    from pawpaw.util import (find_balanced, find_escapes, find_unescaped,
+                             split_unescaped)
+
+    from pawpaw_ray.stages.rowfns import ESC_N_CASES, ESC_OPS, esc_subject
+
+    def ref_result(s: str, op: str, arg) -> str:
+        try:
+            if op == "escapes":
+                return json.dumps(list(find_escapes(s)))
+            if op == "unescaped":
+                return json.dumps(list(find_unescaped(s, arg)))
+            if op == "split":
+                return json.dumps(list(split_unescaped(s, arg)))
+            if op == "balanced":
+                return json.dumps(list(find_balanced(s, arg[0], arg[1])))
+            raise KeyError(op)
+        except ValueError:
+            return "ERR:ValueError"
+
+    n = max(200, N_TURNS // 100)
+    rows = []
+    for i in range(n):
+        for case in range(ESC_N_CASES):
+            s = esc_subject(i, case)
+            for op, arg in ESC_OPS:
+                key = f"{op}:{arg}" if arg is not None else op
+                rows.append((i, case, key, ref_result(s, op, arg)))
+    _write(d, "str_esc", pd.DataFrame(
+        rows, columns=["doc_id", "case", "op", "result"]))
+
+
 def main() -> None:
     d = _out_dir()
     turns, catalog = _transcripts()
@@ -775,6 +812,7 @@ def main() -> None:
     golden_str_ops(d, docs)
     golden_format_grid(d, docs)
     golden_xml_ns(d)
+    golden_str_esc(d)
 
 
 if __name__ == "__main__":
