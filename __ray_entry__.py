@@ -475,6 +475,52 @@ def _q_str_esc(sf_dir: str):
     return src.map_batches(esc_ops_batch, batch_format="pyarrow")
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment from md5(doc_id)
+    (stages/curation.py) — leakage-free, engine-portable (the oracle
+    evaluates the identical md5-prefix comparison in SQL)."""
+    from pawpaw_ray.stages.curation import hash_split_batch
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        hash_split_batch, batch_format="pyarrow")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-language sample by md5 rank: per-batch partial
+    top-k then a tiny per-stratum merge — no global sort, no data shuffle."""
+    from pawpaw_ray.stages.curation import stratified_sample
+    return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                             "lang", k=20)
+
+
+def _q_decontaminate(sf_dir: str):
+    """8-gram-overlap decontamination of the corpus against a deterministic
+    eval subset (doc_id % 97 == 0): eval shingles hashed + broadcast once,
+    train side tested with one vectorized np.isin per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pawpaw_ray.stages.curation import decontaminate
+
+    def part(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy() % 97 == 0)
+            return b.filter(pa.array(m if keep_eval else ~m))
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return decontaminate(docs.map_batches(part(False), batch_format="pyarrow"),
+                         docs.map_batches(part(True), batch_format="pyarrow"))
+
+
+def _q_token_pack(sf_dir: str):
+    """Token-budget sequence chunking (seq_id = tokens-before-doc // 512)
+    via the distributed ordered prefix-scan in stages/curation.py — exact
+    global scan with no global sort."""
+    from pawpaw_ray.stages.curation import token_pack
+    return token_pack(_docs(sf_dir, ["doc_id", "text"]), budget=512,
+                      bucket_width=64)
+
+
 def _q_ontology_mentions(sf_dir: str):
     """Hierarchical ontology discovery (reference ``Ontology.discover``,
     ``/root/reference/pawpaw/ontology/ontology.py:60-70``) over documents:
@@ -526,6 +572,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_extract": _q_xml_extract,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        # corpus-curation ops (SQL-checked)
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "token_pack": _q_token_pack,
         # hierarchical ontology discovery (golden: reference engine)
         "ontology_mentions": _q_ontology_mentions,
         # row-local helper layers as hash-checked grids (golden: reference
@@ -627,6 +678,29 @@ reach AS (
   SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
 )
 SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+# 8-gram-overlap decontamination vs the deterministic eval subset
+# (doc_id % 97 == 0); tokenization identical to the kernel (TOKEN_PATTERN +
+# lower, both RE2-compatible and ASCII on the fixtures)
+_DECONTAMINATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                                x -> lower(x)) AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+    ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+         i -> array_to_string(toks[i:i+7], ' ')))
+  END AS shg FROM tok),
+ev AS (SELECT DISTINCT unnest(shg) AS s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(shg) AS s FROM sh WHERE doc_id % 97 <> 0),
+hits AS (SELECT tr.doc_id, count(*) AS n_hit_shingles
+         FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+SELECT d.doc_id, coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
+       coalesce(h.n_hit_shingles, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
 """
 
 _STOPWORDS_SQL = {
@@ -760,6 +834,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, sha256(lower(trim(regexp_replace("
             r"text, '\s+', ' ', 'g')))) AS content_sha256 FROM documents",
         "langid": _langid_sql(),
+        # --- corpus-curation oracles (round 3) ----------------------------
+        "hash_split":
+            "SELECT doc_id, CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val' "
+            "ELSE 'test' END AS split FROM documents",
+        "stratified_sample":
+            "SELECT lang, doc_id, rk FROM ("
+            "  SELECT lang, doc_id, row_number() OVER ("
+            "    PARTITION BY lang "
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk"
+            "  FROM documents) WHERE rk <= 20",
+        # engine compares 64-bit blake2b shingle hashes, the SQL compares
+        # the shingle strings themselves — equal unless a hash collision
+        # (p ~ m^2/2^65; see stages/curation.py)
+        "decontaminate": _DECONTAMINATE_SQL,
+        "token_pack":
+            "WITH t AS (SELECT doc_id, "
+            "  len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens "
+            "  FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
+            "  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST((c - n_tokens) // 512 AS BIGINT) AS seq_id FROM s",
         "minhash_dedup": _jaccard_cluster_sql(0.8),
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

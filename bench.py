@@ -74,7 +74,9 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "table_extract", "media_features", "xml_extract",
                  "langid", "fingerprint", "ontology_mentions",
                  "lang_count", "top_sources", "numbers_extract",
-                 "str_ops", "format_grid", "xml_ns", "str_esc")
+                 "str_ops", "format_grid", "xml_ns", "str_esc",
+                 "hash_split", "stratified_sample", "decontaminate",
+                 "token_pack")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

@@ -1,0 +1,253 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+hash splits, stratified sampling, and benchmark decontamination.
+
+These are the corpus-assembly steps that sit between dedup and training:
+
+* :func:`hash_split_batch` — leakage-free train/val/test assignment from a
+  content-independent hash of the document id.  Deterministic across runs,
+  engines and cluster sizes (md5, not a process-seeded hash), so a split
+  computed on one cluster is reproducible on any other.
+* :func:`stratified_sample` — k docs per stratum (e.g. per language),
+  chosen by md5 rank: a deterministic uniform sample with no global sort
+  and no shuffle — per-batch partial top-k, then a tiny merge.
+* :func:`decontaminate` — flag training documents sharing any word n-gram
+  with an evaluation set (the GPT-3/PaLM-style n-gram-overlap hygiene
+  step).  The eval side is hashed to 64-bit shingles and broadcast once
+  (``ray.put`` + per-process cache); the train side is a vectorized
+  ``np.isin`` membership test per batch — no shuffle, no join.
+
+All operators are ``map_batches`` transforms over Arrow batches; none
+materializes the training corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import regex as rx
+
+from pawpaw_ray.stages.textstats import TOKEN_PATTERN
+
+_TOKEN_RX = rx.compile(TOKEN_PATTERN)
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+# train/val/test = 90/5/5 over 65536 md5-prefix buckets.  The cut points are
+# 4-hex-char strings so the comparison is a plain lexicographic compare on
+# the md5 hex digest — the same expression a SQL engine can evaluate
+# (substr(md5(id), 1, 4) < 'e666').  floor(65536 * .90) = 58982 = 0xe666,
+# floor(65536 * .95) = 62259 = 0xf333.
+SPLIT_CUTS = (("train", "e666"), ("val", "f333"), ("test", "ffff~"))
+
+
+def hash_split_batch(batch: pa.Table, id_col: str = "doc_id",
+                     out_col: str = "split") -> pa.Table:
+    """Assign each row a train/val/test split from md5(str(id)).
+
+    Content-independent (id only), so exact/near duplicates of one document
+    land in the same split only if they share an id — pair this with dedup
+    upstream.  md5 is engine-portable: the DuckDB oracle evaluates the
+    identical expression.
+    """
+    out = []
+    for i in batch[id_col].to_pylist():
+        h4 = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        for name, cut in SPLIT_CUTS:
+            if h4 < cut:
+                out.append(name)
+                break
+    return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# stratified sample
+# ---------------------------------------------------------------------------
+
+
+def _md5_rank_key(ids) -> list[str]:
+    return [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+
+
+def stratified_sample(ds, strata_col: str, k: int, id_col: str = "doc_id"):
+    """Deterministic k-per-stratum sample: the k ids with the smallest
+    (md5(id), id) key in each stratum — a uniform sample that is stable
+    across runs and cluster sizes.
+
+    Scale shape: stage 1 reduces every block to at most ``strata x k`` rows
+    (per-batch partial top-k — the same map-side-combine trick as the
+    count aggregates), so the final per-stratum merge sees
+    ``blocks x strata x k`` rows, never the corpus.  No global sort, no
+    shuffle of the data itself.
+    """
+    import pandas as pd
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            strata_col: b[strata_col],
+            id_col: b[id_col],
+        }).to_pandas()
+        df["mk"] = _md5_rank_key(df[id_col].tolist())
+        df = (df.sort_values(["mk", id_col])
+                .groupby(strata_col, sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["mk", id_col]).head(k).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[strata_col, id_col, "rk"]]
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .groupby(strata_col)
+              .map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct 64-bit hashes of the lowercase word n-grams of ``text``.
+    blake2b/8-byte digests: stable across processes (unlike ``hash()``),
+    collision probability ~m^2 / 2^65 — negligible against benchmark-suite
+    shingle counts (m ~ 10^7 -> p ~ 10^-5 per corpus)."""
+    toks = [t.lower() for t in _TOKEN_RX.findall(text or "")]
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    seen = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big") for s in seen),
+        dtype=np.uint64, count=len(seen))
+
+
+def eval_shingle_set(eval_ds, text_col: str = "text", n: int = 8):
+    """Distinct shingle hashes of the eval set as a sorted uint64 array
+    wrapped in an object ref (``ray.put`` once; workers ``cached_get``).
+
+    The eval side of decontamination is small by construction (benchmark
+    suites, not corpora): hashes-only leave the workers — 8 bytes per
+    shingle, ~80 MB for a 10M-shingle suite — never the eval text.
+    """
+    import ray
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        hs = [_shingle_hashes(t, n) for t in b[text_col].to_pylist()]
+        merged = (np.unique(np.concatenate(hs)) if hs
+                  else np.empty(0, dtype=np.uint64))
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    parts = eval_ds.map_batches(hash_batch, batch_format="pyarrow")
+    arrs = [b["h"].to_numpy() for b in parts.iter_batches(batch_format="pyarrow")]
+    merged = (np.unique(np.concatenate(arrs)) if arrs
+              else np.empty(0, dtype=np.uint64))
+    return ray.put(merged)
+
+
+def make_decontaminate_batch(eval_ref, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 8):
+    """Batch fn flagging docs that share >= 1 word n-gram with the eval set.
+
+    Vectorized: one ``np.isin`` (binary search against the sorted broadcast
+    array) over all shingles of the batch, then a per-doc segment sum —
+    no Python loop over shingles in the membership test.
+    Emits ``n_hit_shingles`` (distinct shared n-grams) and ``contaminated``.
+    """
+    from pawpaw_ray.state.broadcast import cached_get
+
+    def decon_batch(b: pa.Table) -> pa.Table:
+        ev = cached_get(eval_ref)
+        per_doc = [_shingle_hashes(t, n) for t in b[text_col].to_pylist()]
+        counts = np.zeros(len(per_doc), dtype=np.int64)
+        if per_doc and ev.size:
+            lens = np.array([a.size for a in per_doc])
+            flat = (np.concatenate(per_doc) if lens.sum()
+                    else np.empty(0, dtype=np.uint64))
+            hits = np.isin(flat, ev).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            nz = lens > 0
+            if nz.any():
+                sums = np.add.reduceat(hits, starts[nz]) if hits.size else 0
+                counts[nz] = sums
+        return pa.table({
+            id_col: b[id_col],
+            "n_hit_shingles": pa.array(counts, pa.int64()),
+            "contaminated": pa.array(counts > 0, pa.bool_()),
+        })
+
+    return decon_batch
+
+
+def decontaminate(train_ds, eval_ds, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 8):
+    """Flag every training document sharing any word n-gram with the eval
+    set (default n=8, the PaLM/Llama-style overlap window)."""
+    ref = eval_shingle_set(eval_ds, text_col=text_col, n=n)
+    return train_ds.map_batches(make_decontaminate_batch(ref, id_col,
+                                                         text_col, n),
+                                batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing (distributed ordered prefix-scan)
+# ---------------------------------------------------------------------------
+
+
+def token_pack(ds, budget: int = 2048, id_col: str = "doc_id",
+               text_col: str = "text", bucket_width: int = 4096):
+    """Assign each document the training-sequence index in which it starts
+    under a doc-id-ordered token-budget scan::
+
+        seq_id = (tokens of all docs with smaller id) // budget
+
+    — the deterministic chunking step that turns a deduped corpus into
+    fixed-token training sequences.
+
+    Scale shape — a distributed ordered prefix-scan with NO global sort:
+
+    1. per-doc token counts, vectorized (Arrow ``count_substring_regex``);
+    2. range-bucket by id (``bucket = id // bucket_width``) and reduce to
+       per-bucket token sums — a tiny groupby (corpus/bucket_width rows);
+    3. prefix-sum the bucket sums on the driver (the same bounded
+       driver-side-resolution class as the shuffle fan-out: thousands of
+       rows, not the corpus) and broadcast the base offsets;
+    4. each bucket scans locally from its base offset.
+
+    Exact global result; the corpus itself crosses the cluster once, in the
+    bucket groupby.  Assumes an orderable integer id; for arbitrary keys,
+    replace step 2's range bucketing with quantile bucketing.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from pawpaw_ray.state.broadcast import cached_get
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(b[text_col], TOKEN_PATTERN),
+                        pa.int64())
+        ids = b[id_col]
+        bucket = pc.divide(ids, pa.scalar(bucket_width, pa.int64()))
+        return pa.table({id_col: ids, "n_tokens": n_tok, "bucket": bucket})
+
+    tok = ds.map_batches(count_batch, batch_format="pyarrow").materialize()
+
+    sums = tok.groupby("bucket").sum("n_tokens").to_pandas()
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    col = "sum(n_tokens)"
+    base = (sums[col].cumsum() - sums[col]).astype("int64")
+    offsets_ref = ray.put(dict(zip(sums["bucket"].astype(int), base)))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        off = cached_get(offsets_ref)[int(g["bucket"].iloc[0])]
+        before = off + g["n_tokens"].cumsum() - g["n_tokens"]
+        g["seq_id"] = (before // budget).astype("int64")
+        return g[[id_col, "n_tokens", "seq_id"]]
+
+    return tok.groupby("bucket").map_groups(scan, batch_format="pandas")

@@ -1,0 +1,237 @@
+"""Corpus-curation operators (stages/curation.py): deterministic hash
+split, stratified sampling, n-gram decontamination.  Differential oracles
+are DuckDB SQL over the same in-memory table (the identical expressions the
+driver runs at sf0.01)."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pawpaw_ray.stages.curation import (
+    _shingle_hashes,
+    decontaminate,
+    eval_shingle_set,
+    hash_split_batch,
+    make_decontaminate_batch,
+    stratified_sample,
+    token_pack,
+)
+
+
+def test_hash_split_matches_sql_and_fractions():
+    ids = list(range(20_000))
+    out = hash_split_batch(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = dict(zip(out["doc_id"].to_pylist(), out["split"].to_pylist()))
+
+    sql = duckdb.sql(
+        "SELECT i AS doc_id, CASE "
+        "WHEN substr(md5(CAST(i AS VARCHAR)), 1, 4) < 'e666' THEN 'train' "
+        "WHEN substr(md5(CAST(i AS VARCHAR)), 1, 4) < 'f333' THEN 'val' "
+        "ELSE 'test' END AS split FROM range(20000) t(i)").fetchall()
+    assert got == {r[0]: r[1] for r in sql}
+
+    frac = pd.Series(list(got.values())).value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.01
+    assert abs(frac["val"] - 0.05) < 0.005
+    assert abs(frac["test"] - 0.05) < 0.005
+
+
+def test_hash_split_content_independent():
+    # same id -> same split regardless of any other column
+    t1 = hash_split_batch(pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                                    "text": pa.array(["a", "b"])}))
+    t2 = hash_split_batch(pa.table({"doc_id": pa.array([8, 7], pa.int64()),
+                                    "text": pa.array(["x", "y"])}))
+    m1 = dict(zip(t1["doc_id"].to_pylist(), t1["split"].to_pylist()))
+    m2 = dict(zip(t2["doc_id"].to_pylist(), t2["split"].to_pylist()))
+    assert m1 == m2
+
+
+def _sample_frame(n=1000, langs=("en", "de", "fr")):
+    rng = np.random.RandomState(7)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(langs, size=n),
+    })
+
+
+def test_stratified_sample_matches_sql_window(ray_session):
+    import ray.data as rd
+
+    df = _sample_frame()
+    got = (stratified_sample(rd.from_pandas(df), "lang", k=20)
+           .to_pandas().sort_values(["lang", "rk"]).reset_index(drop=True))
+
+    want = duckdb.sql(
+        "SELECT lang, doc_id, rk FROM ("
+        "  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM df) "
+        "WHERE rk <= 20 ORDER BY lang, rk").fetchdf()
+    pd.testing.assert_frame_equal(
+        got[["lang", "doc_id", "rk"]], want, check_dtype=False)
+
+
+def test_stratified_sample_block_count_invariant(ray_session):
+    import ray.data as rd
+
+    df = _sample_frame(600)
+    a = (stratified_sample(rd.from_pandas(df), "lang", k=5)
+         .to_pandas().sort_values(["lang", "rk"]).reset_index(drop=True))
+    b = (stratified_sample(rd.from_pandas(df).repartition(13), "lang", k=5)
+         .to_pandas().sort_values(["lang", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_shingle_hashes_short_doc_empty():
+    assert _shingle_hashes("only five words right here", 8).size == 0
+    assert _shingle_hashes("", 8).size == 0
+    # exactly n tokens -> one shingle
+    assert _shingle_hashes("a b c d e f g h", 8).size == 1
+
+
+def test_shingle_hashes_distinct_and_case_insensitive():
+    # repeated n-gram counted once; tokenization lowercases
+    t = "A b c d e f g h " * 3
+    assert _shingle_hashes(t, 8).size == 8  # 8 distinct cyclic 8-grams
+    assert (sorted(_shingle_hashes("A B C D E F G H", 8))
+            == sorted(_shingle_hashes("a b c d e f g h", 8)))
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    import ray.data as rd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [
+            base + " extra tail words here",   # shares 8-grams with eval
+            "totally different words with no overlap at all whatsoever",
+            "short doc",                        # <8 tokens: never flagged
+        ],
+    })
+    ev = pd.DataFrame({
+        "doc_id": np.array([100], dtype=np.int64),
+        "text": ["prefix words then " + base],
+    })
+    out = (decontaminate(rd.from_pandas(train), rd.from_pandas(ev))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_hit_shingles"] == 1  # only the base 8-gram is shared
+    assert not bool(out.loc[2, "contaminated"])
+    assert out.loc[2, "n_hit_shingles"] == 0
+    assert not bool(out.loc[3, "contaminated"])
+
+
+def test_decontaminate_counts_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    train = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [doc(rng.randint(4, 60)) for _ in range(40)],
+    })
+    ev = pd.DataFrame({
+        "doc_id": np.arange(100, 105, dtype=np.int64),
+        "text": [doc(rng.randint(10, 60)) for _ in range(5)],
+    })
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 8]) for i in range(max(0, len(toks) - 7))}
+
+    ev_set = set().union(*[shingles(t) for t in ev["text"]])
+    want = {int(r.doc_id): len(shingles(r.text) & ev_set)
+            for r in train.itertuples()}
+
+    out = (decontaminate(rd.from_pandas(train).repartition(7),
+                         rd.from_pandas(ev))
+           .to_pandas())
+    got = dict(zip(out["doc_id"].astype(int), out["n_hit_shingles"].astype(int)))
+    assert got == want
+    assert (out["contaminated"] == (out["n_hit_shingles"] > 0)).all()
+
+
+def test_decontaminate_empty_eval_set(ray_session):
+    import ray.data as rd
+
+    train = pd.DataFrame({"doc_id": np.array([1], dtype=np.int64),
+                          "text": ["one two three four five six seven eight"]})
+    ev = pd.DataFrame({"doc_id": np.array([], dtype=np.int64),
+                       "text": pd.Series([], dtype=str)})
+    out = decontaminate(rd.from_pandas(train), rd.from_pandas(ev)).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_decontaminate_batch_fn_empty_batch(ray_session):
+    import ray
+    ref = ray.put(np.array([1, 2, 3], dtype=np.uint64))
+    fn = make_decontaminate_batch(ref)
+    out = fn(pa.table({"doc_id": pa.array([], pa.int64()),
+                       "text": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "n_hit_shingles", "contaminated"]
+
+
+def _pack_frame(n=500):
+    rng = np.random.RandomState(3)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(f"w{j}" for j in range(rng.randint(1, 40)))
+                 for _ in range(n)],
+    })
+
+
+def test_token_pack_matches_sql_prefix_scan(ray_session):
+    import ray.data as rd
+
+    df = _pack_frame()
+    got = (token_pack(rd.from_pandas(df), budget=100, bucket_width=64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    want = duckdb.sql(
+        "WITH t AS (SELECT doc_id, "
+        "  len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens FROM df), "
+        "s AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER ("
+        "  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c FROM t) "
+        "SELECT doc_id, n_tokens, CAST((c - n_tokens) // 100 AS BIGINT) "
+        "AS seq_id FROM s ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # a doc is assigned the sequence in which it STARTS: seq_ids are
+    # non-decreasing in doc order and start at 0
+    assert got["seq_id"].iloc[0] == 0
+    assert (got["seq_id"].diff().fillna(0) >= 0).all()
+
+
+def test_token_pack_invariant_to_blocks_and_bucket_width(ray_session):
+    import ray.data as rd
+
+    df = _pack_frame(300)
+    a = (token_pack(rd.from_pandas(df), budget=64, bucket_width=64)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (token_pack(rd.from_pandas(df).repartition(11), budget=64,
+                    bucket_width=17)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_eval_shingle_set_sorted_unique(ray_session):
+    import ray
+    import ray.data as rd
+
+    ev = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["a b c d e f g h i", "a b c d e f g h i"],  # identical
+    })
+    arr = ray.get(eval_shingle_set(rd.from_pandas(ev).repartition(2)))
+    assert arr.dtype == np.uint64
+    assert arr.size == 2  # two distinct 8-grams, dupes merged
+    assert list(arr) == sorted(set(arr))
