@@ -521,6 +521,14 @@ def _q_token_pack(sf_dir: str):
                       bucket_width=64)
 
 
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic global shuffle permutation (pos = rank under
+    (md5(id), id)) via md5-prefix bucketing + the bucket-count prefix scan
+    — no global sort operator (stages/curation.py)."""
+    from pawpaw_ray.stages.curation import shuffle_order
+    return shuffle_order(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_ontology_mentions(sf_dir: str):
     """Hierarchical ontology discovery (reference ``Ontology.discover``,
     ``/root/reference/pawpaw/ontology/ontology.py:60-70``) over documents:
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "token_pack": _q_token_pack,
+        "shuffle_order": _q_shuffle_order,
         # hierarchical ontology discovery (golden: reference engine)
         "ontology_mentions": _q_ontology_mentions,
         # row-local helper layers as hash-checked grids (golden: reference
@@ -858,6 +867,10 @@ def oracle_sql() -> dict[str, str]:
             "  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c FROM t) "
             "SELECT doc_id, n_tokens, "
             "CAST((c - n_tokens) // 512 AS BIGINT) AS seq_id FROM s",
+        "shuffle_order":
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
+            "AS pos FROM documents",
         "minhash_dedup": _jaccard_cluster_sql(0.8),
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,

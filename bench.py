@@ -76,7 +76,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",
                  "hash_split", "stratified_sample", "decontaminate",
-                 "token_pack")
+                 "token_pack", "shuffle_order")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

@@ -237,10 +237,12 @@ def token_pack(ds, budget: int = 2048, id_col: str = "doc_id",
 
     tok = ds.map_batches(count_batch, batch_format="pyarrow").materialize()
 
-    sums = tok.groupby("bucket").sum("n_tokens").to_pandas()
+    from ray.data.aggregate import Sum
+    sums = (tok.groupby("bucket")
+               .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+               .to_pandas())
     sums = sums.sort_values("bucket").reset_index(drop=True)
-    col = "sum(n_tokens)"
-    base = (sums[col].cumsum() - sums[col]).astype("int64")
+    base = (sums["bucket_tokens"].cumsum() - sums["bucket_tokens"]).astype("int64")
     offsets_ref = ray.put(dict(zip(sums["bucket"].astype(int), base)))
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
@@ -251,3 +253,55 @@ def token_pack(ds, budget: int = 2048, id_col: str = "doc_id",
         return g[[id_col, "n_tokens", "seq_id"]]
 
     return tok.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle order
+# ---------------------------------------------------------------------------
+
+
+def shuffle_order(ds, id_col: str = "doc_id"):
+    """Deterministic global training-shuffle permutation: each row's
+    1-based position under ``ORDER BY (md5(id), id)`` — a seedless,
+    engine-portable shuffle that is reproducible across runs and resumable
+    mid-epoch (position is a pure function of the id set).
+
+    Scale shape — the same ordered-prefix-scan trick as :func:`token_pack`,
+    keyed on the rank key itself: lexicographic md5 order groups by the
+    digest's first byte, so bucketing on ``int(md5[:2], 16)`` (256 uniform
+    buckets) makes global order = bucket order + in-bucket order.
+    Per-bucket row counts (256 rows) are prefix-summed on the driver;
+    each bucket then sorts locally and enumerates from its base offset.
+    No global sort operator, no driver materialization of the corpus.
+    """
+    import pandas as pd
+    import ray
+
+    from pawpaw_ray.state.broadcast import cached_get
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        mk = _md5_rank_key(b[id_col].to_pylist())
+        bucket = np.fromiter((int(k[:2], 16) for k in mk),
+                             dtype=np.int64, count=len(mk))
+        return pa.table({id_col: b[id_col],
+                         "mk": pa.array(mk, pa.string()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count
+    counts = (keyed.groupby("bucket")
+                   .aggregate(Count(alias_name="bucket_rows"))
+                   .to_pandas())
+    counts = counts.sort_values("bucket").reset_index(drop=True)
+    base = (counts["bucket_rows"].cumsum() - counts["bucket_rows"]).astype("int64")
+    offsets_ref = ray.put(dict(zip(counts["bucket"].astype(int), base)))
+
+    def enumerate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["mk", id_col]).reset_index(drop=True)
+        off = cached_get(offsets_ref)[int(g["bucket"].iloc[0])]
+        g["pos"] = np.arange(off + 1, off + 1 + len(g), dtype=np.int64)
+        return g[[id_col, "pos"]]
+
+    return keyed.groupby("bucket").map_groups(enumerate_bucket,
+                                              batch_format="pandas")

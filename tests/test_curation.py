@@ -17,6 +17,7 @@ from pawpaw_ray.stages.curation import (
     eval_shingle_set,
     hash_split_batch,
     make_decontaminate_batch,
+    shuffle_order,
     stratified_sample,
     token_pack,
 )
@@ -221,6 +222,35 @@ def test_token_pack_invariant_to_blocks_and_bucket_width(ray_session):
                     bucket_width=17)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_shuffle_order_matches_sql_rank(ray_session):
+    import ray.data as rd
+
+    # non-contiguous ids: the permutation is a function of the id VALUES
+    df = pd.DataFrame({"doc_id": np.array([3, 17, 1000, 42, 7, 999_999],
+                                          dtype=np.int64)})
+    got = (shuffle_order(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT doc_id, CAST(row_number() OVER ("
+        "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos "
+        "FROM df ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_shuffle_order_is_permutation_and_block_invariant(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    a = (shuffle_order(rd.from_pandas(df))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (shuffle_order(rd.from_pandas(df).repartition(9))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["pos"]) == list(range(1, 2001))  # exact permutation
+    # it actually shuffles: positions are not the identity order
+    assert (a["pos"].to_numpy() != np.arange(1, 2001)).any()
 
 
 def test_eval_shingle_set_sorted_unique(ray_session):
