@@ -21,7 +21,11 @@ measured ~2x on small windows — so always-on would tax the hot path ~16%):
   unless ``TRUSTED_TIMEOUT`` (env ``PAWPAW_RAY_TRUSTED_REGEX_TIMEOUT``,
   default off) opts them in.
 
-Both knobs are read at call time so tests/operators can adjust per process.
+The ENV VARS are parsed once at import (a per-call ``os.environ`` read
+would tax the hot path for nothing); the MODULE ATTRIBUTES
+``guard.REGEX_TIMEOUT`` / ``guard.TRUSTED_TIMEOUT`` are looked up at
+every call, so tests/operators adjust per process by rebinding those —
+setting the env var after import has no effect.
 """
 
 from __future__ import annotations

@@ -143,6 +143,28 @@ class MinHashLSH:
         })
 
 
+# Observability for capped-recall events: a bucket larger than
+# ``max_all_pairs`` falls back to multi-hub stars, which (on the paths with
+# no later per-pair verification, e.g. simhash) can DROP a genuine pair
+# whose two members are near each other but far from every hub.  Counters
+# are per worker process; the first event per (process, kind) logs a
+# warning so capped recall is visible in the Ray worker logs, and tests
+# can read the counter after driving the pairing kernel in-process.
+CAPPED_BUCKET_EVENTS: dict[str, int] = {}
+
+
+def note_capped_bucket(kind: str, n: int, max_all_pairs: int) -> None:
+    seen = CAPPED_BUCKET_EVENTS.get(kind, 0)
+    CAPPED_BUCKET_EVENTS[kind] = seen + 1
+    if seen == 0:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%s: bucket of %d docs exceeds max_all_pairs=%d; falling back "
+            "to multi-hub stars (pairs between two non-hub members may be "
+            "dropped — bounded-recall event, counted per worker process)",
+            kind, n, max_all_pairs)
+
+
 def _pairs_from_bucket(g: pd.DataFrame, all_pairs: bool = False,
                        max_all_pairs: int = 512) -> pd.DataFrame:
     """Candidate pairs from one LSH bucket.
@@ -172,6 +194,7 @@ def _pairs_from_bucket(g: pd.DataFrame, all_pairs: bool = False,
     if not all_pairs:
         # unverified path: a single min-id star suffices for min-label CC
         return pd.DataFrame({"a": np.repeat(ids[0], n - 1), "b": ids[1:]})
+    note_capped_bucket("minhash_verify", n, max_all_pairs)
     n_hubs = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
     hub_idx = np.unique(np.linspace(0, n - 1, n_hubs).astype(np.int64))
     a_parts, b_parts = [], []
@@ -456,10 +479,18 @@ def _verify_pairs_join(pairs_ds, docs_ds, threshold, k, id_col, text_col):
     # Ray's hash-shuffle join aggregator crashes when a partition receives
     # ZERO shards on either side (its block builder yields a schema-less
     # table and pa.Table.join can't resolve the key) — a sparse pair list
-    # leaves partitions empty.  Cover every partition w.h.p. with
-    # self-joining sentinel rows in the far-negative id range: they survive
-    # both joins (a == b == sentinel, matched by sentinel text rows) and
-    # the a != b filter after verification drops them.
+    # leaves partitions empty.  OBSERVED ON ray[data]==2.49.2
+    # (HashShuffleAggregator/JoinOperator empty-partition path; internal
+    # behavior, not a documented contract — re-test this workaround on any
+    # Ray upgrade; tests/test_cc.py::test_verify_pairs_join_sparse_partitions
+    # is the canary).  Two defenses, in order:
+    #   1. the rename() helper below maps any schema-less block to
+    #      schema.empty_table() — the deterministic primary defense;
+    #   2. self-joining sentinel rows in the far-negative id range cover
+    #      every partition w.h.p. (32·n_parts rows → per-partition miss
+    #      odds ~e^-32): they survive both joins (a == b == sentinel,
+    #      matched by sentinel text rows) and the a != b filter after
+    #      verification drops them.
     import ray.data as rd
     n_sent = 32 * n_parts
     sent_ids = -(np.arange(1, n_sent + 1, dtype=np.int64) + (1 << 62))
@@ -592,12 +623,64 @@ def _hamming_matrix(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
             .sum(axis=2, dtype=np.int64))
 
 
+def _simhash_band_pairs(g: pd.DataFrame, max_hamming: int,
+                        id_col: str = "doc_id",
+                        max_all_pairs: int = 512) -> pd.DataFrame:
+    """Hamming-verified pairs within one exact-band collision group —
+    vectorized XOR-popcount matrix; groups beyond ``max_all_pairs``
+    fall back to multi-hub stars (same pair budget and rationale as
+    ``_pairs_from_bucket``: a duplicate-heavy corpus can land millions
+    of identical signatures in ONE band bucket, and n²/2 Python
+    hamming calls there would be unbounded).  Capped groups are counted
+    via :func:`note_capped_bucket` (kind ``"simhash"``)."""
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
+    if len(g) < 2:
+        return empty
+    g = g.drop_duplicates(id_col).sort_values(id_col)
+    ids = g[id_col].to_numpy(np.int64)
+    sigs = g["simhash64"].to_numpy(np.uint64)
+    n = len(ids)
+    if n < 2:
+        return empty
+    if n <= max_all_pairs:
+        d = _hamming_matrix(sigs, sigs)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = d[iu, ju] <= max_hamming
+        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]]})
+    # multi-hub stars, hubs SPREAD across the sorted id range (same
+    # rationale as _pairs_from_bucket: the h smallest ids could all be
+    # outliers and mask genuine pairs); identical/near-identical
+    # signatures (the only way a band bucket gets this big) stay
+    # connected through any surviving hub
+    note_capped_bucket("simhash", n, max_all_pairs)
+    h = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
+    hub_idx = np.unique(np.linspace(0, n - 1, h).astype(np.int64))
+    d = _hamming_matrix(sigs[hub_idx], sigs)
+    hi, mj = np.nonzero(d <= max_hamming)
+    a, b = ids[hub_idx[hi]], ids[mj]
+    keep = a != b
+    return (pd.DataFrame({"a": np.minimum(a, b)[keep],
+                          "b": np.maximum(a, b)[keep]})
+            .drop_duplicates(ignore_index=True))
+
+
 def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
                      text_col: str = "text") -> pd.DataFrame:
     """SimHash near-dup: band the 64-bit signature into 4 x 16-bit keys
     (any pair within Hamming distance 3 shares at least one exact band by
     pigeonhole), bucket-groupby per band, verify Hamming ≤ ``max_hamming``
-    inside buckets, then min-label clusters."""
+    inside buckets, then min-label clusters.
+
+    Bounded-recall caveat: there is no per-pair verification stage after
+    the bucket pairing, so in a band bucket larger than the 512-doc
+    all-pairs budget the multi-hub fallback can drop a pair whose members
+    are within ``max_hamming`` of each other but farther than
+    ``max_hamming`` from every hub.  That requires a giant HETEROGENEOUS
+    bucket — giant band buckets are near-identical signatures in practice
+    — and each occurrence is logged/counted per worker process
+    (:func:`note_capped_bucket`, kind ``"simhash"``), so capped-recall
+    events are observable rather than silent."""
 
     from pawpaw_ray.stages.cc import cc_labels_pandas
     from pawpaw_ray.tuning import shuffle_buckets
@@ -624,47 +707,9 @@ def simhash_clusters(docs_ds, max_hamming: int = 3, id_col: str = "doc_id",
             "simhash64": pa.array(rep_sigs, pa.uint64()),
         })
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Hamming-verified pairs within one exact-band collision group —
-        vectorized XOR-popcount matrix; groups beyond ``max_all_pairs``
-        fall back to multi-hub stars (same pair budget and rationale as
-        ``_pairs_from_bucket``: a duplicate-heavy corpus can land millions
-        of identical signatures in ONE band bucket, and n²/2 Python
-        hamming calls there would be unbounded)."""
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64)})
-        if len(g) < 2:
-            return empty
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy(np.int64)
-        sigs = g["simhash64"].to_numpy(np.uint64)
-        n = len(ids)
-        if n < 2:
-            return empty
-        max_all_pairs = 512
-        if n <= max_all_pairs:
-            d = _hamming_matrix(sigs, sigs)
-            iu, ju = np.triu_indices(n, k=1)
-            keep = d[iu, ju] <= max_hamming
-            return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]]})
-        # multi-hub stars, hubs SPREAD across the sorted id range (same
-        # rationale as _pairs_from_bucket: the h smallest ids could all be
-        # outliers and mask genuine pairs); identical/near-identical
-        # signatures (the only way a band bucket gets this big) stay
-        # connected through any surviving hub
-        h = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
-        hub_idx = np.unique(np.linspace(0, n - 1, h).astype(np.int64))
-        d = _hamming_matrix(sigs[hub_idx], sigs)
-        hi, mj = np.nonzero(d <= max_hamming)
-        a, b = ids[hub_idx[hi]], ids[mj]
-        keep = a != b
-        return (pd.DataFrame({"a": np.minimum(a, b)[keep],
-                              "b": np.maximum(a, b)[keep]})
-                .drop_duplicates(ignore_index=True))
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g.duplicated(["band", "band_key"], keep=False)]  # collisions only
-        frames = [band_pairs(sub)
+        frames = [_simhash_band_pairs(sub, max_hamming, id_col)
                   for _, sub in g.groupby(["band", "band_key"], sort=False)]
         if not frames:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),

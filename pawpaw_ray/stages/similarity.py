@@ -436,7 +436,12 @@ class MultiTableSigner:
                 self.vec_col: vecs,
             })
         M = _to_matrix(batch[self.vec_col])
-        if self.H is None:
+        if self.H is None or self.H.shape[2] != M.shape[1]:
+            # (re)derive on first batch OR on a dim change: the per-process
+            # state cache keys on config, not data, so a cached signer can
+            # outlive one table and see another with a different embedding
+            # dim — H is a pure function of (seed, dim), so re-deriving is
+            # deterministic and cheap
             rng = np.random.RandomState(self.seed)
             self.H = rng.standard_normal(
                 (self.n_tables, self.n_bits, M.shape[1]))
@@ -465,20 +470,89 @@ class MultiTableSigner:
         })
 
 
+def _cosine_bucket_pairs(g: pd.DataFrame, threshold: float,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_all_pairs: int = 512,
+                         chunk: int = 8192) -> pd.DataFrame:
+    """Cosine-verified pairs inside the (table, code) groups of one shuffle
+    bucket.  Groups up to ``max_all_pairs`` members get the exact n×n
+    matmul; larger groups fall back to MULTI-hub stars with hubs spread
+    across the sorted id range and a CHUNKED hubs-vs-all matmul, so both
+    the similarity matrix (≤ h×chunk) and the emitted pair count
+    (≤ h·n ≤ max_all_pairs²/2 per group) stay bounded under duplicate skew
+    — the same budget pattern as ``dedup._pairs_from_bucket`` /
+    ``dedup._simhash_band_pairs``.  Capped groups are counted via
+    ``note_capped_bucket`` (kind ``"embedding_near_dup"``); like the
+    simhash path there is no later verification, so a capped HETEROGENEOUS
+    group can drop a pair whose members are near each other but below
+    threshold against every hub (giant code buckets are near-identical
+    vectors in practice — any hub connects the survivors)."""
+    from pawpaw_ray.stages.dedup import note_capped_bucket
+
+    # singleton codes can't pair — drop before the per-group loop
+    g = g[g.duplicated(["lsh_table", "lsh_code"], keep=False)]
+    frames = []
+    for _, sub in g.groupby(["lsh_table", "lsh_code"], sort=False):
+        sub = sub.drop_duplicates(id_col).sort_values(id_col)
+        n = len(sub)
+        if n < 2:
+            continue
+        ids = sub[id_col].to_numpy(np.int64)
+        vecs = sub[vec_col].to_numpy()  # object array of per-row vectors
+        if n <= max_all_pairs:
+            M = _normalize(np.stack(vecs).astype(np.float64))
+            S = M @ M.T
+            iu, ju = np.triu_indices(n, k=1)
+            hit = S[iu, ju] >= threshold
+            frames.append(pd.DataFrame(
+                {"a": ids[iu[hit]], "b": ids[ju[hit]]}))
+            continue
+        note_capped_bucket("embedding_near_dup", n, max_all_pairs)
+        h = max(1, min(n - 1, max_all_pairs * max_all_pairs // (2 * n)))
+        hub_idx = np.unique(np.linspace(0, n - 1, h).astype(np.int64))
+        H = _normalize(np.stack(vecs[hub_idx]).astype(np.float64))
+        a_parts, b_parts = [], []
+        for s0 in range(0, n, chunk):
+            s1 = min(n, s0 + chunk)
+            Mc = _normalize(np.stack(vecs[s0:s1]).astype(np.float64))
+            hi, cj = np.nonzero(H @ Mc.T >= threshold)
+            a = ids[hub_idx[hi]]
+            b = ids[s0 + cj]
+            keep = a != b
+            a_parts.append(np.minimum(a, b)[keep])
+            b_parts.append(np.maximum(a, b)[keep])
+        frames.append(pd.DataFrame({"a": np.concatenate(a_parts),
+                                    "b": np.concatenate(b_parts)})
+                      .drop_duplicates(ignore_index=True))
+    if not frames:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
+    return pd.concat(frames, ignore_index=True)
+
+
 def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
                        n_bits: int = 10, n_tables: int = 8,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int | None = None) -> pd.DataFrame:
+                       max_all_pairs: int = 512) -> pd.DataFrame:
     """Embedding-cosine near-duplicate clusters.
 
     L-table hyperplane-LSH bucket groupby → exact pairwise cosine INSIDE
-    each (table, code) group (vectorized matmul) → distributed min-label
-    connected components (:mod:`pawpaw_ray.stages.cc`).  The shuffle
-    routes through a cluster-sized bucket column; only (id, table, code,
-    vec) rows move, and pairs above ``threshold`` are a tiny output whose
-    cross-table duplicates collapse in one small aggregate before CC.
-    ``n_tables`` trades shuffle volume for recall (single-table
-    single-probe recall was the round-1 weak spot).
+    each (table, code) group (vectorized, hub-capped, chunked matmul —
+    see :func:`_cosine_bucket_pairs`) → distributed min-label connected
+    components (:mod:`pawpaw_ray.stages.cc`).  The shuffle routes through
+    a cluster-sized bucket column; only (id, table, code, vec) rows move,
+    and pairs above ``threshold`` are a tiny output whose cross-table
+    duplicates collapse in one small aggregate before CC.  ``n_tables``
+    trades shuffle volume for recall (single-table single-probe recall
+    was the round-1 weak spot).
+
+    Lineage discipline: the input executes exactly ONCE (the signing
+    pass).  The signature table is materialized, the small/large gate
+    reads its ``size_bytes()`` metadata (no ``count()``/``take()`` sniff
+    that would re-execute a computed upstream), and the id universe for
+    singleton cluster labels is recovered from the table-0 signature rows
+    rather than a second scan of the input.
 
     Shuffle-volume note: each vector crosses the shuffle ``n_tables``
     times (L·n·d·4 bytes — vectors stay float32 end-to-end).  The
@@ -490,8 +564,10 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
     P ≥ L·n/2, so the per-table vector shuffle is the cheaper design,
     not a shortcut.  The quadratic-P failure mode of the join variant
     on duplicate-heavy corpora is also absent here: in-bucket cosine is
-    a vectorized matmul and false-positive pairs never cross a shuffle.
+    a bounded matmul and false-positive pairs never cross a shuffle.
     """
+    import pyarrow.compute as pc
+
     from pawpaw_ray.stages.cc import cc_labels_pandas
     from pawpaw_ray.stages.dedup import _dedup_pairs
     from pawpaw_ray.tuning import shuffle_buckets
@@ -505,36 +581,22 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
         inst = _cached_state(key, lambda: MultiTableSigner(**signer_kwargs))
         return inst(batch)
 
-    signed = embeddings_ds.map_batches(sign_batch, batch_format="pyarrow")
+    # materialized: the groupby (large path) or repartition(1) (small path)
+    # would materialize it anyway, and it makes the size gate and the id
+    # recovery below metadata/cached-block reads instead of re-executions
+    signed = (embeddings_ds
+              .map_batches(sign_batch, batch_format="pyarrow")
+              .materialize())
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # singleton codes can't pair — drop before the per-group loop
-        g = g[g.duplicated(["lsh_table", "lsh_code"], keep=False)]
-        frames = []
-        for _, sub in g.groupby(["lsh_table", "lsh_code"], sort=False):
-            sub = sub.drop_duplicates(id_col)
-            if len(sub) < 2:
-                continue
-            ids = sub[id_col].to_numpy(np.int64)
-            M = _normalize(np.stack(sub[vec_col].to_numpy()).astype(np.float64))
-            S = M @ M.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            hit = S[iu, ju] >= threshold
-            frames.append(pd.DataFrame(
-                {"a": np.minimum(ids[iu[hit]], ids[ju[hit]]),
-                 "b": np.maximum(ids[iu[hit]], ids[ju[hit]])}))
-        if not frames:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        return pd.concat(frames, ignore_index=True)
+        return _cosine_bucket_pairs(g, threshold, id_col, vec_col,
+                                    max_all_pairs)
 
     # size gate in BYTES, not rows (cf. dedup._lsh_pairs): every signed row
-    # carries a full vector copy, so gate on count x tables x row bytes —
-    # 768-dim floats hit the limit ~100x sooner than 8-dim ones.  dim comes
-    # from the caller or a one-row limit-pushdown sniff (cheap on parquet).
-    est_dim = dim or len(embeddings_ds.take(1)[0][vec_col])
-    row_bytes = est_dim * 8 + 48
-    if embeddings_ds.count() * n_tables * row_bytes <= 256 * 2**20:
+    # carries a full vector copy, so 768-dim floats hit the limit ~100x
+    # sooner than 8-dim ones.  size_bytes() on the materialized table is
+    # block metadata — no extra pass.
+    if signed.size_bytes() <= 256 * 2**20:
         pairs = signed.repartition(1).map_batches(
             lambda g: bucket_pairs(g).drop_duplicates(),
             batch_format="pandas", batch_size=None)
@@ -542,5 +604,9 @@ def embedding_near_dup(embeddings_ds, threshold: float = 0.9,
         pairs = _dedup_pairs(
             signed.groupby("bucket").map_groups(bucket_pairs,
                                                 batch_format="pandas"))
-    return cc_labels_pandas(pairs, embeddings_ds.select_columns([id_col]),
-                            id_col)
+    # id universe for singleton labels: table-0 signature rows carry every
+    # input id exactly once — a cached-block scan, not an input re-scan
+    ids_ds = signed.map_batches(
+        lambda b: b.filter(pc.equal(b["lsh_table"], 0)).select([id_col]),
+        batch_format="pyarrow")
+    return cc_labels_pandas(pairs, ids_ds, id_col)

@@ -586,11 +586,20 @@ def golden_ann_lsh(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
 def golden_ann_ivf(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
                    n_lists: int = 64, n_probe: int = 4,
                    train_size: int = 10_000, seed: int = 7) -> None:
-    """IVF ANN recompute: same contract as the operator (splitmix64-hash
-    training sample, seeded spherical k-means, union-of-probed-lists shared
-    candidate scan), derived here as one single-process pass.  Float ops
-    use the same numpy kernels (matmul/argmax) — bit-identical results
-    require identical rounding, exactly as golden_ann_lsh does."""
+    """IVF ANN recompute: union-of-probed-lists shared candidate scan
+    derived as one single-process pass.  The splitmix64 sampling hash and
+    the k-means trainer are IMPORTED from the engine rather than inlined
+    (round-3 ADVICE: the oracle contract is the CONFIG — seed, sample rule,
+    list/probe counts — not a duplicated trainer whose drift would shift
+    centroids); what this golden independently re-derives is the
+    assignment/probe/scan/score pipeline the operator distributes.  Float
+    ops use the same numpy kernels (matmul/argmax) — bit-identical results
+    require identical rounding, exactly as golden_ann_lsh does — and a
+    tie-margin assertion below proves no vector sits close enough to two
+    centroids for BLAS/batch-shape rounding to flip its list."""
+    from pawpaw_ray.stages.dedup import _splitmix64
+    from pawpaw_ray.stages.similarity import _kmeans_lite
+
     t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
@@ -601,31 +610,25 @@ def golden_ann_ivf(d: str, query_ids=(0, 1, 2, 3), k: int = 10,
 
     # training sample: splitmix64(id) % mod == 0, rows in id order
     mod = max(1, len(ids) // train_size)
-    z = ids.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    z = _splitmix64(ids.view(np.uint64))
     sample = np.flatnonzero(z % np.uint64(mod) == 0)
     sample = sample[np.argsort(ids[sample], kind="stable")]
-    X = M[sample]
-
-    rng = np.random.RandomState(seed)
-    nl = min(n_lists, len(X))
-    C = X[rng.choice(len(X), size=nl, replace=False)].copy()
-    for _ in range(8):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(nl):
-            m = assign == j
-            if m.any():
-                v = X[m].mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    C[j] = v / nv
+    C = _kmeans_lite(M[sample], n_lists, seed=seed)
+    nl = len(C)
 
     qi = np.asarray([int(np.flatnonzero(ids == q)[0]) for q in query_ids])
     np_ = min(n_probe, nl)
     probes = np.argpartition(-(M[qi] @ C.T), np_ - 1, axis=1)[:, :np_]
-    cand = np.isin(np.argmax(M @ C.T, axis=1), np.unique(probes))
+    sims_c = M @ C.T
+    # tie-margin gate: the operator computes argmax per 4096-row batch,
+    # this golden in one full-table matmul — a near-tie between the top
+    # two centroids is where different BLAS shapes could disagree
+    top2 = np.partition(sims_c, nl - 2, axis=1)[:, nl - 2:]
+    margin = top2[:, 1] - top2[:, 0]
+    assert margin.min() > 1e-9, (
+        f"near-tie centroid assignment (margin {margin.min():.2e}) — "
+        "fixture unsafe for a bit-exact IVF golden")
+    cand = np.isin(np.argmax(sims_c, axis=1), np.unique(probes))
 
     rows = []
     for qn, q in enumerate(query_ids):

@@ -408,3 +408,62 @@ def test_similarity_empty_batch_guards():
              "ids": [1], "matrix": np.array([[1.0, 0.0]])}
     scorer = _LshProbeScorer(state, k=1, id_col="vec_id", vec_col="embedding")
     assert len(scorer(empty)) == 0
+
+
+def test_verify_pairs_join_sparse_partitions(ray_session, monkeypatch):
+    """Canary for the Ray 2.49 hash-join empty-partition workaround in
+    dedup._verify_pairs_join: with num_partitions >> pairs most partitions
+    receive zero pair shards — the rename()/empty_table defense plus the
+    sentinel rows must keep the join alive and the output exact."""
+    import ray.data as rd
+
+    from pawpaw_ray import tuning
+    from pawpaw_ray.stages.dedup import _verify_pairs_join
+
+    monkeypatch.setattr(tuning, "join_partitions", lambda: 16)
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["alpha beta gamma delta", "alpha beta gamma delta",
+                 "totally different words here", "alpha beta gamma echo",
+                 "unrelated content again", "alpha beta gamma delta"],
+    })
+    pairs = pd.DataFrame({"a": np.array([0, 0], dtype=np.int64),
+                          "b": np.array([1, 5], dtype=np.int64)})
+    out = _verify_pairs_join(rd.from_pandas(pairs), rd.from_pandas(docs),
+                             threshold=0.9, k=3, id_col="doc_id",
+                             text_col="text").to_pandas()
+    got = set(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert got == {(0, 1), (0, 5)}
+    assert (out["jaccard"] == 1.0).all()
+
+
+def test_simhash_band_pairs_capped_counter():
+    """Capped-recall events in the simhash pairing must be observable
+    (round-3 ADVICE): counter bumps, pair budget holds, the near-identical
+    group stays connected through the spread hubs."""
+    from pawpaw_ray.stages.dedup import (CAPPED_BUCKET_EVENTS,
+                                         _simhash_band_pairs)
+
+    n, cap = 2000, 64
+    rng = np.random.RandomState(4)
+    base = np.uint64(0xDEADBEEFCAFED00D)
+    # near-identical signatures: flip at most 1 low bit
+    sigs = base ^ rng.randint(0, 2, size=n).astype(np.uint64)
+    g = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "simhash64": sigs})
+    before = CAPPED_BUCKET_EVENTS.get("simhash", 0)
+    out = _simhash_band_pairs(g, max_hamming=3, max_all_pairs=cap)
+    assert CAPPED_BUCKET_EVENTS.get("simhash", 0) == before + 1
+    assert 0 < len(out) <= cap * cap // 2
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(out["a"].to_numpy(), out["b"].to_numpy()):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n)}) == 1

@@ -265,3 +265,89 @@ def test_eval_shingle_set_sorted_unique(ray_session):
     assert arr.dtype == np.uint64
     assert arr.size == 2  # two distinct 8-grams, dupes merged
     assert list(arr) == sorted(set(arr))
+
+
+def test_effective_bucket_width_caps_driver_table():
+    from pawpaw_ray.stages.curation import _effective_bucket_width
+
+    # small corpora keep the requested width
+    assert _effective_bucket_width(0, 10_000, 4096, 65536) == 4096
+    # 10^11-doc id range (the round-3 verdict's failure scenario): the
+    # width widens so the bucket count — and with it the driver prefix
+    # table and the broadcast offsets dict — stays <= max_buckets
+    w = _effective_bucket_width(0, 10**11, 4096, 65536)
+    assert (10**11 + 1 + w - 1) // w <= 65536
+    # pathological requested width (1) is widened, never honored blindly
+    w1 = _effective_bucket_width(0, 10**9, 1, 1000)
+    assert (10**9 + 1 + w1 - 1) // w1 <= 1000
+
+
+def test_token_pack_pathological_width_bounded_and_invariant(ray_session):
+    import ray.data as rd
+
+    # sparse ids across a wide range: bucket_width=1 would naively make
+    # one bucket per id VALUE in range (10^6 driver rows for 40 docs);
+    # max_buckets=16 forces the widened width, output must not change
+    rng = np.random.RandomState(5)
+    ids = np.sort(rng.choice(1_000_000, size=40, replace=False)).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "text": [" ".join(f"w{j}" for j in range(rng.randint(1, 30)))
+                 for _ in ids],
+    })
+    a = (token_pack(rd.from_pandas(df), budget=64, bucket_width=4096)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (token_pack(rd.from_pandas(df).repartition(5), budget=64,
+                    bucket_width=1, max_buckets=16)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_pack_tokenizer_hook_parity(ray_session):
+    """The actor-pool tokenizer path must reproduce the regex default when
+    given an equivalent counter, and honor a genuinely different
+    tokenizer (whitespace) elsewhere."""
+    import regex as rx
+    import ray.data as rd
+
+    from pawpaw_ray.stages.textstats import TOKEN_PATTERN
+
+    df = _pack_frame(120)
+
+    def regex_equiv_factory():
+        pat = rx.compile(TOKEN_PATTERN)
+        return lambda texts: [len(pat.findall(t)) for t in texts]
+
+    base = (token_pack(rd.from_pandas(df), budget=100)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    hooked = (token_pack(rd.from_pandas(df), budget=100,
+                         tokenizer=regex_equiv_factory,
+                         tokenizer_concurrency=2)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, hooked)
+
+    ws = (token_pack(rd.from_pandas(df), budget=100,
+                     tokenizer=lambda: (lambda ts: [len(t.split()) for t in ts]),
+                     tokenizer_concurrency=2)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want_n = df["text"].str.split().str.len().to_numpy()
+    assert (ws.sort_values("doc_id")["n_tokens"].to_numpy() == want_n).all()
+
+
+def test_eval_shingle_set_distinct_aggregate_path(ray_session):
+    """Forcing the in-cluster distinct aggregate (driver_merge_bytes=0)
+    must yield the identical broadcast array as the driver-merge default."""
+    import ray
+    import ray.data as rd
+
+    rng = np.random.RandomState(2)
+    vocab = [f"w{i}" for i in range(20)]
+    ev = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=rng.randint(8, 40)))
+                 for _ in range(12)],
+    })
+    ds = rd.from_pandas(ev).repartition(4)
+    a = ray.get(eval_shingle_set(ds))
+    b = ray.get(eval_shingle_set(ds, driver_merge_bytes=0))
+    assert np.array_equal(a, b)

@@ -266,3 +266,90 @@ def test_ann_topk_ivf_selective_and_high_recall(ray_session):
     out2 = ann_topk_ivf(ds.repartition(11), [0], k=6, n_lists=64, n_probe=4)
     assert out[["query_id", "vec_id", "rank"]].equals(
         out2[["query_id", "vec_id", "rank"]])
+
+
+def test_cosine_bucket_pairs_skew_capped():
+    """≥10k near-identical vectors in ONE code bucket (the duplicate-skew
+    scenario from the round-3 verdict): the pairing kernel must cap the
+    emitted pairs and the similarity matrix via the multi-hub fallback,
+    keep the group fully connected, and count the capped-recall event."""
+    from pawpaw_ray.stages.dedup import CAPPED_BUCKET_EVENTS
+    from pawpaw_ray.stages.similarity import _cosine_bucket_pairs
+
+    rng = np.random.RandomState(3)
+    n, cap = 10_000, 512
+    vecs = (rng.standard_normal(16)
+            + 1e-4 * rng.standard_normal((n, 16)))
+    g = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "lsh_table": np.zeros(n, dtype=np.int32),
+        "lsh_code": np.zeros(n, dtype=np.uint64),
+        "embedding": list(vecs),
+    })
+    before = CAPPED_BUCKET_EVENTS.get("embedding_near_dup", 0)
+    out = _cosine_bucket_pairs(g, threshold=0.95, max_all_pairs=cap,
+                               chunk=1024)
+    assert CAPPED_BUCKET_EVENTS.get("embedding_near_dup", 0) == before + 1
+    # pair budget: h*n <= cap^2/2 — never the n^2/2 all-pairs blowup
+    assert 0 < len(out) <= cap * cap // 2
+
+    # every member connects to a hub -> a single component survives
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(out["a"].to_numpy(), out["b"].to_numpy()):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_embedding_near_dup_input_lineage_executes_once(ray_session):
+    """Computed inputs must not be re-executed by size-gate sniffs or the
+    singleton-id scan (round-3 verdict item 3): the operator's only pass
+    over the input lineage is the signing map."""
+    import ray
+    import ray.data as rd
+
+    from pawpaw_ray.stages.similarity import embedding_near_dup
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((60, 8))
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+
+    def make_ds(counter):
+        def counting(b: pa.Table) -> pa.Table:
+            ray.get(counter.inc.remote())
+            return b
+        return (rd.from_arrow(tbl).repartition(4)
+                .map_batches(counting, batch_format="pyarrow"))
+
+    # calibrate: batch-fn invocations for exactly ONE full pass
+    c1 = Counter.remote()
+    make_ds(c1).map_batches(lambda b: b, batch_format="pyarrow").count()
+    n_single = ray.get(c1.get.remote())
+
+    c2 = Counter.remote()
+    out = embedding_near_dup(make_ds(c2), threshold=0.95, n_bits=6)
+    assert len(out) == 60
+    assert ray.get(c2.get.remote()) == n_single
