@@ -475,6 +475,27 @@ def _q_str_esc(sf_dir: str):
     return src.map_batches(esc_ops_batch, batch_format="pyarrow")
 
 
+def _q_arborform_flow(sf_dir: str):
+    """Connector-DAG flow grid (kernels/arborform.py interpreter running
+    the shared FLOW_SPEC: recurse/subroutine/children_add/delegate/
+    children_add_hierarchical with predicates) over documents; golden =
+    the reference arborform engine on the identical pipeline
+    (make_golden.py)."""
+    from pawpaw_ray.stages.rowfns import arborform_flow_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(arborform_flow_batch, batch_format="pyarrow"))
+
+
+def _q_postorator_grid(sf_dir: str):
+    """Postorator grid (kernels/postorators.py WindowedJoin x2 +
+    StackedReduce over each document's word stream); golden = the
+    reference postorator classes bound to a reference Extract
+    (make_golden.py)."""
+    from pawpaw_ray.stages.rowfns import postorator_grid_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(postorator_grid_batch, batch_format="pyarrow"))
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment from md5(doc_id)
     (stages/curation.py) — leakage-free, engine-portable (the oracle
@@ -594,6 +615,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "format_grid": _q_format_grid,
         "xml_ns": _q_xml_ns,
         "str_esc": _q_str_esc,
+        # connector-DAG flow + postorators as hash-checked grids (golden:
+        # reference arborform engine / reference postorator classes)
+        "arborform_flow": _q_arborform_flow,
+        "postorator_grid": _q_postorator_grid,
     }
 
 
@@ -894,4 +919,6 @@ def oracle_sql() -> dict[str, str]:
         "format_grid": _golden_sql("format_grid"),
         "xml_ns": _golden_sql("xml_ns"),
         "str_esc": _golden_sql("str_esc"),
+        "arborform_flow": _golden_sql("arborform_flow"),
+        "postorator_grid": _golden_sql("postorator_grid"),
     }

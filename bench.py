@@ -75,6 +75,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "langid", "fingerprint", "ontology_mentions",
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",
+                 "arborform_flow", "postorator_grid",
                  "hash_split", "stratified_sample", "decontaminate",
                  "token_pack", "shuffle_order")
     if names:

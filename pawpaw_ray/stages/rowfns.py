@@ -178,6 +178,147 @@ def xml_ns_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+# --- connector-DAG flow grid (kernels/arborform.py vs reference arborform) --
+
+# Shared RULE definitions: the pipeline shape both engines must agree on.
+# The flow exercises every connector semantic observably: RECURSE (paragraph
+# → sentence outputs continue through the remaining chain), SUBROUTINE with
+# a callable predicate (short sentences get desc "short" by side effect),
+# CHILDREN.ADD (tokens under every sentence), DELEGATE with a desc
+# predicate (short sentences exit the chain here — they must NOT receive
+# cap children), and CHILDREN.ADD_HIERARCHICAL (capitalized runs adopt the
+# token children they cover).  The cap pattern is \b-anchored on both ends
+# so cap spans always cover COMPLETE tokens (never a partial overlap, which
+# would raise in both engines).
+FLOW_PARA_RE = r"\n{2,}"
+FLOW_SENT_RE = r"(?<=[.!?])\s+"
+FLOW_TOK_RE = r"(?P<tok>[A-Za-z0-9_]+)"
+FLOW_CAP_RE = r"\b(?P<cap>[A-Z][a-z]+(?: [A-Z][a-z]+)+)\b"
+FLOW_SHORT_LEN = 40
+
+FLOW_SPEC = {
+    "itor": "split", "re": FLOW_PARA_RE, "retention": "none", "desc": "para",
+    "connections": [
+        {"connector": "recurse",
+         "itor": {"itor": "split", "re": FLOW_SENT_RE, "retention": "none",
+                  "desc": "sent"}},
+        {"connector": "subroutine",
+         "predicate": {"fn": "flow_is_short"},
+         "itor": {"itor": "desc", "desc": "short"}},
+        {"connector": "children_add",
+         "itor": {"itor": "extract", "re": FLOW_TOK_RE}},
+        {"connector": "delegate", "predicate": "short",
+         "itor": {"itor": "reflect"}},
+        {"connector": "children_add_hierarchical",
+         "itor": {"itor": "extract", "re": FLOW_CAP_RE}},
+    ],
+}
+
+
+def _register_flow_predicates() -> None:
+    from pawpaw_ray.kernels.arborform import register_predicate
+
+    register_predicate(
+        "flow_is_short",
+        lambda node, text: node.stop - node.start < FLOW_SHORT_LEN)
+
+
+_register_flow_predicates()
+
+
+def arborform_flow_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    from pawpaw_ray.kernels.arborform import (build_itor, flatten_tree,
+                                              run_pipeline)
+
+    itor = build_itor(FLOW_SPEC)
+    ids, ords, starts, stops, descs, parents = [], [], [], [], [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+        if not text:
+            continue
+        root = run_pipeline(text, itor, root_desc="Document")
+        s, e, d, p = flatten_tree([root])
+        for i in range(len(s)):
+            ids.append(doc_id)
+            ords.append(i)
+            starts.append(s[i])
+            stops.append(e[i])
+            descs.append("None" if d[i] is None else d[i])
+            parents.append(p[i])
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "node_ord": pa.array(ords, pa.int32()),
+        "start": pa.array(starts, pa.int32()),
+        "stop": pa.array(stops, pa.int32()),
+        "desc": pa.array(descs, pa.string()),
+        "parent": pa.array(parents, pa.int32()),
+    })
+
+
+# --- postorator grid (kernels/postorators.py vs reference postorators) -----
+
+# Shared RULE definitions: three postorator configurations over the word
+# stream of each document.  Predicates are pure span arithmetic so both
+# engines express the identical rule:
+#   wj2 — WindowedJoin(2): join when the covering span is <= 12 chars
+#   wj3 — WindowedJoin(3): join when every member is <= 4 chars
+#   sr  — StackedReduce: push words <= 3 chars, pop on words > 5 chars,
+#         reduce = covering span with desc "run"
+POST_WJ2_COVER = 12
+POST_WJ3_EACH = 4
+POST_SR_PUSH = 3
+POST_SR_POP = 5
+
+
+def postorator_grid_batch(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    import regex as rx
+
+    from pawpaw_ray.kernels.postorators import (join_spans, stacked_reduce,
+                                                windowed_join)
+
+    tok_rx = rx.compile(r"[A-Za-z0-9_]+")
+
+    def configs(words):
+        yield "wj2", windowed_join(
+            words, 2,
+            lambda w: (max(x[1] for x in w) - min(x[0] for x in w)
+                       <= POST_WJ2_COVER),
+            "pair")
+        yield "wj3", windowed_join(
+            words, 3,
+            lambda w: all(x[1] - x[0] <= POST_WJ3_EACH for x in w),
+            "triple")
+        yield "sr", stacked_reduce(
+            words,
+            lambda stack: join_spans(stack, "run"),
+            lambda stack, s: s[1] - s[0] <= POST_SR_PUSH,
+            lambda stack, s: s[1] - s[0] > POST_SR_POP)
+
+    ids, cfgs, ords, starts, stops, descs = [], [], [], [], [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+        words = [(m.start(), m.end(), "word")
+                 for m in tok_rx.finditer(text or "")]
+        for cfg, stream in configs(list(words)):
+            for i, (s, e, d) in enumerate(stream):
+                ids.append(doc_id)
+                cfgs.append(cfg)
+                ords.append(i)
+                starts.append(s)
+                stops.append(e)
+                descs.append("None" if d is None else d)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "cfg": pa.array(cfgs, pa.string()),
+        "out_ord": pa.array(ords, pa.int32()),
+        "start": pa.array(starts, pa.int32()),
+        "stop": pa.array(stops, pa.int32()),
+        "desc": pa.array(descs, pa.string()),
+    })
+
+
 # --- escape-aware util grid (kernels/strutil.py vs reference pawpaw.util) ---
 
 ESC_N_CASES = 8

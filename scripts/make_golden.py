@@ -797,6 +797,97 @@ def golden_str_esc(d: str) -> None:
         rows, columns=["doc_id", "case", "op", "result"]))
 
 
+def golden_arborform_flow(d: str, docs: pd.DataFrame) -> None:
+    """Connector-DAG flow golden: the REFERENCE arborform engine running
+    the shared FLOW_SPEC pipeline shape — Recurse (paragraph→sentence),
+    Subroutine with a length predicate (Desc mutation), Children.Add
+    (tokens), Delegate on a desc predicate (short sentences exit the
+    chain), Children.AddHierarchical (cap runs adopt token children).
+    Only the rule constants are shared; every node below is produced by
+    ``pawpaw.arborform``."""
+    import regex
+
+    import pawpaw as pp
+
+    from pawpaw_ray.stages.rowfns import (FLOW_CAP_RE, FLOW_PARA_RE,
+                                          FLOW_SENT_RE, FLOW_SHORT_LEN,
+                                          FLOW_TOK_RE)
+
+    af = pp.arborform
+    para = af.Split(regex.compile(FLOW_PARA_RE, regex.DOTALL),
+                    boundary_retention=af.Split.BoundaryRetention.NONE,
+                    desc="para")
+    sent = af.Split(regex.compile(FLOW_SENT_RE, regex.DOTALL),
+                    boundary_retention=af.Split.BoundaryRetention.NONE,
+                    desc="sent")
+    para.connections.append(af.Connectors.Recurse(sent))
+    para.connections.append(af.Connectors.Subroutine(
+        af.Desc("short"), lambda i: len(i) < FLOW_SHORT_LEN))
+    para.connections.append(af.Connectors.Children.Add(
+        af.Extract(regex.compile(FLOW_TOK_RE, regex.DOTALL))))
+    para.connections.append(af.Connectors.Delegate(
+        af.Reflect(), lambda i: i.desc == "short"))
+    para.connections.append(af.Connectors.Children.AddHierarchical(
+        af.Extract(regex.compile(FLOW_CAP_RE, regex.DOTALL))))
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if not text:
+            continue
+        root = pp.Ito(text, desc="Document")
+        root.children.add(*para(root))
+        for i, (s, e, desc, parent) in enumerate(_flatten(root)):
+            rows.append((int(doc_id), i, s, e,
+                         "None" if desc is None else desc, parent))
+    df = pd.DataFrame(rows, columns=["doc_id", "node_ord", "start", "stop",
+                                     "desc", "parent"])
+    _write(d, "arborform_flow", df)
+
+
+def golden_postorators(d: str, docs: pd.DataFrame) -> None:
+    """Postorator golden: REFERENCE WindowedJoin / StackedReduce bound to
+    a reference word Extract over each document (the shared constants are
+    the window sizes and span-arithmetic thresholds)."""
+    import regex
+
+    import pawpaw as pp
+
+    from pawpaw_ray.stages.rowfns import (POST_SR_POP, POST_SR_PUSH,
+                                          POST_WJ2_COVER, POST_WJ3_EACH)
+
+    word_re = regex.compile(r"(?P<word>[A-Za-z0-9_]+)", regex.DOTALL)
+
+    def make(cfg):
+        ext = pp.arborform.Extract(word_re)
+        if cfg == "wj2":
+            ext.postorator = pp.arborform.postorator.WindowedJoin(
+                2, lambda itos: (max(i.stop for i in itos)
+                                 - min(i.start for i in itos))
+                <= POST_WJ2_COVER, desc="pair")
+        elif cfg == "wj3":
+            ext.postorator = pp.arborform.postorator.WindowedJoin(
+                3, lambda itos: all(len(i) <= POST_WJ3_EACH for i in itos),
+                desc="triple")
+        else:
+            ext.postorator = pp.arborform.postorator.StackedReduce(
+                lambda itos: pp.Ito.join(*itos, desc="run"),
+                lambda stack, ito: len(ito) <= POST_SR_PUSH,
+                lambda stack, ito: len(ito) > POST_SR_POP)
+        return ext
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if not text:
+            continue
+        for cfg in ("wj2", "wj3", "sr"):
+            for i, ito in enumerate(make(cfg)(pp.Ito(text))):
+                rows.append((int(doc_id), cfg, i, ito.start, ito.stop,
+                             "None" if ito.desc is None else ito.desc))
+    df = pd.DataFrame(rows, columns=["doc_id", "cfg", "out_ord", "start",
+                                     "stop", "desc"])
+    _write(d, "postorator_grid", df)
+
+
 def main() -> None:
     d = _out_dir()
     turns, catalog = _transcripts()
@@ -816,6 +907,8 @@ def main() -> None:
     golden_format_grid(d, docs)
     golden_xml_ns(d)
     golden_str_esc(d)
+    golden_arborform_flow(d, docs)
+    golden_postorators(d, docs)
 
 
 if __name__ == "__main__":
