@@ -19,6 +19,15 @@ import sys
 import time
 
 
+def _median(vals: list) -> float:
+    """True median of a SORTED list: with an even count, picking
+    ``vals[n//2]`` would be best-case for throughput but worst-case for
+    seconds — an inconsistent (and flattering) estimator."""
+    n = len(vals)
+    return (vals[n // 2] if n % 2
+            else round((vals[n // 2 - 1] + vals[n // 2]) / 2, 3))
+
+
 def _turns_for(sf_dir: str) -> int:
     import re
     m = re.search(r"sf(\d+\.?\d*)", sf_dir)
@@ -47,20 +56,30 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     # warm the page cache so we measure compute+shuffle, not first disk read
     read_transcripts(d).count()
 
-    t0 = time.monotonic()
-    out = build_kg(read_transcripts(d, override_num_blocks=n_blocks), catalog)
-    # consume both outputs CONCURRENTLY: they derive from the same
-    # materialized triple rows, so the dedup and entity shuffles overlap
-    # instead of serializing (threads each drive one Dataset execution)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(2) as pool:
-        f_t = pool.submit(out["triples"].count)
-        f_e = pool.submit(out["entities"].count)
-        n_triples, n_entities = f_t.result(), f_e.result()
-    headline = time.monotonic() - t0
+    def one_headline() -> tuple[float, int, int]:
+        t0 = time.monotonic()
+        out = build_kg(read_transcripts(d, override_num_blocks=n_blocks),
+                       catalog)
+        # consume both outputs CONCURRENTLY: they derive from the same
+        # materialized triple rows, so the dedup and entity shuffles overlap
+        # instead of serializing (threads each drive one Dataset execution)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as pool:
+            f_t = pool.submit(out["triples"].count)
+            f_e = pool.submit(out["entities"].count)
+            n_t, n_e = f_t.result(), f_e.result()
+        return time.monotonic() - t0, n_t, n_e
+
+    # the shared VM swings ~2x run to run (see BASELINE.md): repeat and
+    # report the median + all reps so a noise outlier self-identifies
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "2")))
+    head_runs = [one_headline() for _ in range(reps)]
+    head_secs = sorted(r[0] for r in head_runs)
+    headline = _median(head_secs)
+    n_triples, n_entities = head_runs[0][1], head_runs[0][2]
 
     # per-operator timings over the driver tables
-    qtimes: dict[str, float] = {}
+    qtimes: dict[str, dict] = {}
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         names = ()
     else:
@@ -82,12 +101,21 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         import pandas as pd
         import __ray_entry__ as entrymod
         q = entrymod.queries()
-        for name in names:
-            t0 = time.monotonic()
-            res = q[name](sf_dir)
-            if not isinstance(res, pd.DataFrame):
-                res.count()  # force execution of lazy Datasets
-            qtimes[name] = round(time.monotonic() - t0, 3)
+        # INTERLEAVED reps (rep 1 of every query, then rep 2, ...): a noisy
+        # host window then contaminates the same rep index across queries
+        # instead of silently doubling one query's only sample — the
+        # round-3 bench file's 3x outliers cost a full (phantom)
+        # regression investigation
+        raw: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(reps):
+            for name in names:
+                t0 = time.monotonic()
+                res = q[name](sf_dir)
+                if not isinstance(res, pd.DataFrame):
+                    res.count()  # force execution of lazy Datasets
+                raw[name].append(round(time.monotonic() - t0, 3))
+        qtimes = {n: {"median": _median(sorted(v)), "reps": v}
+                  for n, v in raw.items()}
 
     result = {
         "metric": "kg_pipeline_sec",
@@ -99,6 +127,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         "n_turns": n_turns,
         "n_triples": n_triples,
         "n_entities": n_entities,
+        "query_reps": reps,
+        "all_headline_sec": [round(s, 3) for s in head_secs],
         "turns_per_sec": round(n_turns / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
     }
@@ -121,7 +151,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     def fresh(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_BENCH_TURNS=str(n_turns),
-                   GRAFT_BENCH_HEADLINE_ONLY="1")
+                   GRAFT_BENCH_HEADLINE_ONLY="1",
+                   # process-level interleaving IS the rep protocol here;
+                   # a second in-process headline rep would just double
+                   # each leg's wall time
+                   GRAFT_BENCH_QUERY_REPS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -135,13 +169,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         runs_hi.append(fresh(hi))
 
     def med(rs, k):
-        vals = sorted(r[k] for r in rs)
-        n = len(vals)
-        # true median: with an even count, vals[n//2] would pick the upper
-        # element — best-case for throughput but worst-case for seconds,
-        # an inconsistent (and flattering) estimator
-        return (vals[n // 2] if n % 2
-                else round((vals[n // 2 - 1] + vals[n // 2]) / 2, 3))
+        return _median(sorted(r[k] for r in rs))
 
     tput_lo, tput_hi = med(runs_lo, "turns_per_sec"), med(runs_hi, "turns_per_sec")
     eff = (tput_hi / tput_lo) / (hi / lo)

@@ -34,6 +34,35 @@ def token_count_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, pc.cast(n, pa.int64()))
 
 
+def token_count_ds(ds, text_col: str = "text", out_col: str = "n_tokens",
+                   tokenizer=None, tokenizer_concurrency=(1, 8)):
+    """Token-count stage with a pluggable tokenizer.
+
+    Default: the vectorized Arrow regex proxy (:func:`token_count_batch`)
+    on a plain task pool.  ``tokenizer`` is a ZERO-ARG factory returning a
+    callable ``list[str] -> list[int]`` (token count per text); when given,
+    counting runs as an ACTOR-POOL ``map_batches`` stage — the factory
+    runs once per actor in ``__init__`` (the load-a-real-BPE-once
+    pattern), batches flow through ``__call__``.  The same hook shape as
+    ``curation.token_pack(tokenizer=...)``.
+    """
+    if tokenizer is None:
+        return ds.map_batches(
+            lambda b: token_count_batch(b, text_col, out_col),
+            batch_format="pyarrow")
+
+    class _TokenizerCounter:
+        def __init__(self):
+            self.count = tokenizer()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ns = self.count([t or "" for t in b[text_col].to_pylist()])
+            return b.append_column(out_col, pa.array(ns, pa.int64()))
+
+    return ds.map_batches(_TokenizerCounter, batch_format="pyarrow",
+                          concurrency=tokenizer_concurrency)
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality-scoring metrics: char/token counts, punctuation & uppercase
     counts, mean token length.  Integer metrics are exact (SQL-checkable);

@@ -27,3 +27,36 @@ def test_fingerprint_batch_columns():
     assert out["content_sha1"][0].as_py() == out["content_sha1"][1].as_py()
     assert (out["fingerprint64"][0].as_py() == out["fingerprint64"][1].as_py()
             == fingerprint64("hello world"))
+
+
+def test_token_count_ds_tokenizer_hook_parity(ray_session):
+    """Actor-pool tokenizer path equals the vectorized regex default when
+    given an equivalent counter; a different tokenizer is honored."""
+    import pandas as pd
+    import ray.data as rd
+    import regex as rx
+
+    from pawpaw_ray.stages.textstats import TOKEN_PATTERN, token_count_ds
+
+    df = pd.DataFrame({
+        "doc_id": list(range(40)),
+        "text": [f"doc {i} with some words x{i}" * (i % 4) for i in range(40)],
+    })
+
+    def regex_equiv():
+        pat = rx.compile(TOKEN_PATTERN)
+        return lambda texts: [len(pat.findall(t)) for t in texts]
+
+    base = (token_count_ds(rd.from_pandas(df)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    hooked = (token_count_ds(rd.from_pandas(df), tokenizer=regex_equiv,
+                             tokenizer_concurrency=2).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, hooked)
+
+    ws = (token_count_ds(rd.from_pandas(df),
+                         tokenizer=lambda: (lambda ts: [len(t.split())
+                                                        for t in ts]))
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (ws["n_tokens"].to_numpy()
+            == df["text"].str.split().str.len().to_numpy()).all()
