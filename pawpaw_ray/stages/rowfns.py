@@ -179,6 +179,9 @@ def xml_ns_batch(batch: pa.Table, id_col: str = "doc_id",
 
 
 # --- connector-DAG flow grid (kernels/arborform.py vs reference arborform) --
+# Reference flow semantics under test: ``/root/reference/pawpaw/arborform/
+# itorator/itorator.py:130-173`` (connector dispatch) and ``ito.py:
+# 1532-1615`` (ChildItos.add / add_hierarchical adoption).
 
 # Shared RULE definitions: the pipeline shape both engines must agree on.
 # The flow exercises every connector semantic observably: RECURSE (paragraph
@@ -257,6 +260,8 @@ def arborform_flow_batch(batch: pa.Table, text_col: str = "text",
 
 
 # --- postorator grid (kernels/postorators.py vs reference postorators) -----
+# Reference semantics under test: ``/root/reference/pawpaw/arborform/
+# postorator/stacked_reduce.py:33-49`` and ``windowed_join.py:37-47``.
 
 # Shared RULE definitions: three postorator configurations over the word
 # stream of each document.  Predicates are pure span arithmetic so both
