@@ -307,6 +307,17 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_clusters(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_repetition_stats(sf_dir: str):
+    from pawpaw_ray.stages.textstats import repetition_stats_batch
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(repetition_stats_batch, batch_format="pyarrow"))
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    from pawpaw_ray.stages.dedup import dedup_keep_best
+    return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
+
+
 def _q_simhash(sf_dir: str):
     from pawpaw_ray.stages.dedup import simhash_batch
     return (_docs(sf_dir, ["doc_id", "text"])
@@ -602,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         # corpus-curation ops (SQL-checked)
+        "repetition_stats": _q_repetition_stats,
+        "dedup_keep_best": _q_dedup_keep_best,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -736,6 +749,57 @@ SELECT d.doc_id, coalesce(h.n_hit_shingles, 0) AS n_hit_shingles,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
+
+# Gopher-style repetition metrics; tokenization identical to the kernel
+# (lower + [a-z0-9_]+, ASCII-equivalent to TOKEN_PATTERN+lower).  Sums cast
+# to BIGINT (DuckDB sums BIGINT into HUGEINT).
+_REPETITION_STATS_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                                x -> lower(x)) AS ts
+  FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+wc AS (SELECT doc_id, w, count(*) AS c FROM uni GROUP BY doc_id, w),
+uagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_n,
+         CAST(sum((c - 1) * length(w)) AS BIGINT) AS dup_word_chars
+  FROM wc GROUP BY doc_id),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM tk WHERE len(ts) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+bagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+         FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(u.n_words, 0) AS n_words,
+       coalesce(u.n_distinct_words, 0) AS n_distinct_words,
+       coalesce(u.top_word_n, 0) AS top_word_n,
+       coalesce(u.dup_word_chars, 0) AS dup_word_chars,
+       coalesce(b.top_bigram_n, 0) AS top_bigram_n
+FROM documents d
+LEFT JOIN uagg u USING (doc_id) LEFT JOIN bagg b USING (doc_id)
+"""
+
+
+def _keep_best_sql(threshold: float) -> str:
+    """Representative selection over the same brute-force Jaccard clusters
+    as the minhash_dedup oracle: per cluster, the member with max n_chars
+    (tie → min doc_id) — mirrors dedup_keep_best's packed argmax."""
+    return f"""
+SELECT cluster_id, doc_id AS keep_id, n_members FROM (
+  SELECT l.cluster_id, l.doc_id,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+  FROM ({_jaccard_cluster_sql(threshold)}) l
+  JOIN documents d USING (doc_id)
+) WHERE rn = 1
+"""
+
 
 _STOPWORDS_SQL = {
     "en": ("the", "and", "of", "a", "to", "in", "is", "it", "that", "was"),
@@ -897,6 +961,8 @@ def oracle_sql() -> dict[str, str]:
             "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) "
             "AS pos FROM documents",
         "minhash_dedup": _jaccard_cluster_sql(0.8),
+        "dedup_keep_best": _keep_best_sql(0.8),
+        "repetition_stats": _REPETITION_STATS_SQL,
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,

@@ -91,7 +91,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "embedding_near_dup", "segment_stats", "plumule_select",
                  "q1_pricing", "top_customers", "region_revenue",
                  "table_extract", "media_features", "xml_extract",
-                 "langid", "fingerprint", "ontology_mentions",
+                 "langid", "fingerprint", "repetition_stats",
+                 "dedup_keep_best", "ontology_mentions",
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",
                  "arborform_flow", "postorator_grid",

@@ -344,6 +344,99 @@ def minhash_clusters(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
     return cc_labels_pandas(pairs, docs_ds.select_columns([id_col]), id_col)
 
 
+def dedup_keep_best(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    score_col: str = "n_chars", score_bits: int = 23):
+    """Near-dup clustering with representative selection: one output row
+    per cluster ``(cluster_id, keep_id, n_members)`` where ``keep_id`` is
+    the member with the highest ``score_col`` (tie → min id) — the
+    keep-the-best-copy step of a production dedup pass (min-id keeps
+    whatever URL happened to be crawled first; keeping the longest /
+    highest-quality copy is what training pipelines actually do).
+
+    Distributed shape: LSH pairs → CC labels (both shared with
+    :func:`minhash_clusters`) → ONE hash join labels⋈scores → per-batch
+    partial arg-max via an order-preserving packed int64
+    ``score * 2^id_bits + (2^id_bits - 1 - id)`` → native groupby
+    Max/Sum.  The argmax therefore moves one int64 per (batch, cluster)
+    through the shuffle, never raw members.
+
+    Packing bounds (asserted): ``0 <= id < 2^(63 - score_bits)`` (default
+    2^40 ≈ 1.1e12 ids) and scores clamp to ``2^score_bits - 1`` (default
+    8.4M chars) — two docs both above the clamp tie down to min id.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from pawpaw_ray.stages.cc import cc_labels
+    from pawpaw_ray.tuning import join_partitions
+
+    id_bits = 63 - score_bits
+    id_cap, score_cap = 1 << id_bits, (1 << score_bits) - 1
+
+    pairs = _lsh_pairs(docs_ds.select_columns([id_col, text_col]),
+                       num_perm, bands, k, id_col, text_col, distinct=False)
+    labels = cc_labels(pairs, docs_ds.select_columns([id_col]), id_col)
+    meta = docs_ds.select_columns([id_col, score_col])
+
+    # same empty-partition defenses as _verify_pairs_join (Ray 2.49 hash
+    # join; see the comment there): far-negative sentinel ids on both
+    # sides cover every partition, dropped in the packing step below
+    n_parts = join_partitions()
+    n_sent = 32 * n_parts
+    sent_ids = -(np.arange(1, n_sent + 1, dtype=np.int64) + (1 << 62))
+    labels = labels.union(rd.from_arrow(pa.table(
+        {id_col: pa.array(sent_ids, pa.int64()),
+         "cluster_id": pa.array(sent_ids, pa.int64())})))
+    meta = meta.union(rd.from_arrow(pa.table(
+        {id_col: pa.array(sent_ids, pa.int64()),
+         score_col: pa.array(np.zeros(n_sent, dtype=np.int64), pa.int64())})))
+    sch = pa.schema([("cluster_id", pa.int64()), ("packed", pa.int64()),
+                     ("n", pa.int64())])
+
+    def pack_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[id_col] >= 0]  # sentinels out
+        if not len(df):
+            return pd.DataFrame({"cluster_id": np.array([], np.int64),
+                                 "packed": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        ids = df[id_col].to_numpy(np.int64)
+        if int(ids.max()) >= id_cap:
+            raise ValueError(
+                f"{id_col} >= 2^{id_bits} breaks the packed argmax; "
+                f"lower score_bits")
+        sc = np.clip(df[score_col].fillna(0).to_numpy(np.int64),
+                     0, score_cap)
+        packed = sc * id_cap + (id_cap - 1 - ids)
+        g = (pd.DataFrame({"cluster_id": df["cluster_id"].to_numpy(np.int64),
+                           "packed": packed})
+             .groupby("cluster_id", sort=False)["packed"]
+             .agg(packed="max", n="size").reset_index())
+        return g.astype("int64")
+
+    joined = labels.join(meta, join_type="inner",
+                         num_partitions=n_parts,
+                         on=(id_col,), right_on=(id_col,))
+    def partial_batch(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:  # schema-less empty-partition block
+            return sch.empty_table()
+        return pa.Table.from_pandas(pack_partial(b.to_pandas()),
+                                    schema=sch, preserve_index=False)
+
+    partials = joined.map_batches(partial_batch, batch_format="pyarrow")
+    agg = partials.groupby("cluster_id").aggregate(Max("packed"), Sum("n"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        packed = b["max(packed)"].to_numpy().astype(np.int64)
+        return pa.table({
+            "cluster_id": b["cluster_id"].cast(pa.int64()),
+            "keep_id": pa.array(id_cap - 1 - (packed % id_cap), pa.int64()),
+            "n_members": b["sum(n)"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

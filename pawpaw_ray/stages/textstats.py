@@ -100,6 +100,73 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition metrics per document (quality-filter inputs:
+    high top-word / top-bigram / duplicate-word fractions flag boilerplate
+    and degenerate generations).  All-integer outputs so the DuckDB oracle
+    compares exactly; callers derive the ratios.
+
+    Columns: ``n_words`` (token count), ``n_distinct_words``,
+    ``top_word_n`` (occurrences of the most frequent token),
+    ``top_bigram_n`` (occurrences of the most frequent adjacent token
+    pair), ``dup_word_chars`` (chars in token occurrences beyond each
+    token's first — the numerator of Gopher's duplicate-content fraction).
+
+    Fully vectorized: one Arrow ``utf8_lower`` + ``split_pattern_regex``
+    per batch, then flat numpy/pandas group-aggregations — no per-row
+    Python loop.  Tokenization is ``lower`` + ``[a-z0-9_]+``, identical to
+    ``TOKEN_PATTERN``+lower on ASCII (the fixtures; non-ASCII caveat as in
+    :func:`fingerprint_batch`).
+    """
+    import pandas as pd
+
+    n = batch.num_rows
+    # split on non-token runs: "" entries at the edges mark leading/
+    # trailing separators — dropped below, leaving exactly the
+    # findall(TOKEN_PATTERN) token sequence in document order
+    parts = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                   "[^a-z0-9_]+")
+    la = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+    # sliced-ListArray discipline: offsets are absolute into .values, so
+    # always pair them (never .flatten() alongside raw offsets)
+    offs = np.asarray(la.offsets)
+    words = np.asarray(la.values.to_pandas(), dtype=object)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    keep = words != ""
+    df = pd.DataFrame({"i": doc_idx[keep], "w": words[keep]})
+
+    zeros = pd.Series(0, index=pd.RangeIndex(n), dtype="int64")
+
+    wc = df.groupby(["i", "w"], sort=False).size().reset_index(name="c")
+    g = wc.groupby("i", sort=False)
+    wlen = wc["w"].str.len().astype("int64")
+    per = pd.DataFrame({
+        "n_words": g["c"].sum(),
+        "n_distinct_words": g["c"].size(),
+        "top_word_n": g["c"].max(),
+        "dup_word_chars": (wc["c"] * wlen - wlen).groupby(wc["i"]).sum(),
+    }).reindex(pd.RangeIndex(n), fill_value=0).astype("int64")
+
+    # adjacent-token bigrams: consecutive flat rows within the same doc
+    iv, wv = df["i"].to_numpy(), df["w"].to_numpy()
+    same = iv[:-1] == iv[1:] if len(iv) else np.zeros(0, dtype=bool)
+    bg = pd.DataFrame({
+        "i": iv[:-1][same],
+        "b": pd.Series(wv[:-1][same]) + " " + pd.Series(wv[1:][same]),
+    })
+    top_bg = (bg.groupby(["i", "b"], sort=False).size().groupby("i").max()
+              .reindex(pd.RangeIndex(n), fill_value=0).astype("int64")
+              if len(bg) else zeros)
+
+    t = batch.select([id_col])
+    for name in ("n_words", "n_distinct_words", "top_word_n",
+                 "dup_word_chars"):
+        t = t.append_column(name, pa.array(per[name].to_numpy(), pa.int64()))
+    return t.append_column("top_bigram_n",
+                           pa.array(top_bg.to_numpy(), pa.int64()))
+
+
 def fingerprint64(norm: str) -> int:
     """64-bit document fingerprint: min of splitmix64-mixed sliding 8-byte
     windows over the first 4 KiB of the normalized text — the min-of-window-

@@ -353,3 +353,29 @@ def test_embedding_near_dup_input_lineage_executes_once(ray_session):
     out = embedding_near_dup(make_ds(c2), threshold=0.95, n_bits=6)
     assert len(out) == 60
     assert ray.get(c2.get.remote()) == n_single
+
+
+def test_dedup_keep_best(docs_with_dups):
+    """Representative selection: longest member wins, ties fall to min id,
+    singletons keep themselves; one row per cluster."""
+    import pyarrow.compute as pc
+
+    from pawpaw_ray.stages.dedup import dedup_keep_best
+
+    docs = docs_with_dups.map_batches(
+        lambda b: b.append_column(
+            "n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64())),
+        batch_format="pyarrow")
+    out = dedup_keep_best(docs, bands=16).to_pandas()
+    by_cluster = out.set_index("cluster_id")
+
+    # near-dup group 100/101/102: 101 = base + " extra" is the longest
+    assert by_cluster.loc[100, "keep_id"] == 101
+    assert by_cluster.loc[100, "n_members"] == 3
+    # exact-dup pair 103/104: equal length -> tie breaks to min id
+    assert by_cluster.loc[103, "keep_id"] == 103
+    assert by_cluster.loc[103, "n_members"] == 2
+    # singletons keep themselves; one row per cluster, every doc counted
+    assert by_cluster.loc[0, "keep_id"] == 0
+    assert int(out["n_members"].sum()) == docs_with_dups.count()
+    assert out["cluster_id"].is_unique

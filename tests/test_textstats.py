@@ -60,3 +60,31 @@ def test_token_count_ds_tokenizer_hook_parity(ray_session):
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (ws["n_tokens"].to_numpy()
             == df["text"].str.split().str.len().to_numpy()).all()
+
+
+def test_repetition_stats_vs_naive():
+    """Vectorized repetition kernel == per-doc Counter reference on edge
+    cases: empty doc, single token, punctuation-split, repeated bigrams."""
+    import collections
+    import re
+
+    from pawpaw_ray.stages.textstats import repetition_stats_batch
+
+    texts = ["The cat the cat sat", "", "a", "x y x y x",
+             "  hello,world hello ", "one-two one two_three two_three",
+             "spam " * 50]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": texts})
+    out = repetition_stats_batch(batch).to_pydict()
+
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[A-Za-z0-9_]+", t.lower())
+        wc = collections.Counter(toks)
+        bc = collections.Counter(zip(toks, toks[1:]))
+        exp = (len(toks), len(wc), max(wc.values()) if wc else 0,
+               sum((c - 1) * len(w) for w, c in wc.items()),
+               max(bc.values()) if bc else 0)
+        got = tuple(out[c][i] for c in
+                    ("n_words", "n_distinct_words", "top_word_n",
+                     "dup_word_chars", "top_bigram_n"))
+        assert got == exp, (i, t, got, exp)
