@@ -318,6 +318,16 @@ def _q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
 
 
+def _q_common_ngrams(sf_dir: str):
+    from pawpaw_ray.stages.textstats import common_ngrams
+    return common_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=3, min_docs=3)
+
+
+def _q_top_terms(sf_dir: str):
+    from pawpaw_ray.stages.textstats import top_terms
+    return top_terms(_docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
 def _q_simhash(sf_dir: str):
     from pawpaw_ray.stages.dedup import simhash_batch
     return (_docs(sf_dir, ["doc_id", "text"])
@@ -615,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-curation ops (SQL-checked)
         "repetition_stats": _q_repetition_stats,
         "dedup_keep_best": _q_dedup_keep_best,
+        "common_ngrams": _q_common_ngrams,
+        "top_terms": _q_top_terms,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -782,6 +794,48 @@ SELECT d.doc_id,
        coalesce(b.top_bigram_n, 0) AS top_bigram_n
 FROM documents d
 LEFT JOIN uagg u USING (doc_id) LEFT JOIN bagg b USING (doc_id)
+"""
+
+
+# cross-doc 3-gram commonness; shingle construction identical to the kernel
+# (lower + [a-z0-9_]+ tokens, space-joined windows, distinct per doc)
+_COMMON_NGRAMS_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                                x -> lower(x)) AS ts
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM tk),
+freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 3),
+per AS (
+  SELECT sh.doc_id, count(*) AS n_shingles, count(f.s) AS n_common
+  FROM sh LEFT JOIN freq f USING (s) GROUP BY sh.doc_id)
+SELECT d.doc_id, coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_common, 0) AS n_common
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+# per-doc distinctive terms: rank = one IEEE-double division of exact
+# int64 tf/ctf (bit-identical to the numpy kernel), ties to token ASC
+_TOP_TERMS_SQL = """
+WITH tk AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                                x -> lower(x)) AS ts
+  FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS w FROM tk),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM uni GROUP BY doc_id, w),
+ctf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY w),
+rk AS (
+  SELECT tf.doc_id, tf.w, tf.tf, ctf.ctf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / ctf.ctf DESC,
+                                     tf.w ASC) AS rk
+  FROM tf JOIN ctf USING (w))
+SELECT doc_id, rk, w AS token, CAST(tf AS BIGINT) AS tf, ctf
+FROM rk WHERE rk <= 5
 """
 
 
@@ -963,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _jaccard_cluster_sql(0.8),
         "dedup_keep_best": _keep_best_sql(0.8),
         "repetition_stats": _REPETITION_STATS_SQL,
+        "common_ngrams": _COMMON_NGRAMS_SQL,
+        "top_terms": _TOP_TERMS_SQL,
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,

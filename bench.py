@@ -92,7 +92,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "q1_pricing", "top_customers", "region_revenue",
                  "table_extract", "media_features", "xml_extract",
                  "langid", "fingerprint", "repetition_stats",
-                 "dedup_keep_best", "ontology_mentions",
+                 "dedup_keep_best", "common_ngrams", "top_terms",
+                 "ontology_mentions",
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",
                  "arborform_flow", "postorator_grid",

@@ -1,7 +1,10 @@
 """Text-analysis operators over a documents table (training-data pipeline
 building blocks): token counting, quality scoring, language-ID heuristic,
-document fingerprinting.  All are stateless vectorized ``map_batches``
-transforms over Arrow batches (``pyarrow.compute`` kernels where possible).
+document fingerprinting, repetition metrics.  Per-document metrics are
+stateless vectorized ``map_batches`` transforms over Arrow batches
+(``pyarrow.compute`` kernels where possible); the corpus-level operators
+(:func:`common_ngrams`, :func:`top_terms`) are join-free bucketed-groupby
+pipelines with no broadcast state and no driver-side vocabulary.
 """
 
 from __future__ import annotations
@@ -100,6 +103,28 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """Flat ``(doc_idx, token)`` numpy arrays for a batch, in document
+    order: one Arrow ``utf8_lower`` + ``split_pattern_regex`` per batch,
+    no per-row Python loop.  Tokenization is ``lower`` + ``[a-z0-9_]+`` —
+    identical to ``TOKEN_PATTERN``+lower on ASCII (the fixtures; non-ASCII
+    caveat as in :func:`fingerprint_batch`)."""
+    n = batch.num_rows
+    # split on non-token runs: "" entries at the edges mark leading/
+    # trailing separators — dropped below, leaving exactly the
+    # findall(TOKEN_PATTERN) token sequence in document order
+    parts = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                   "[^a-z0-9_]+")
+    la = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+    # sliced-ListArray discipline: offsets are absolute into .values, so
+    # always pair them (never .flatten() alongside raw offsets)
+    offs = np.asarray(la.offsets)
+    words = np.asarray(la.values.to_pandas(), dtype=object)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    keep = words != ""
+    return doc_idx[keep], words[keep]
+
+
 def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
                            id_col: str = "doc_id") -> pa.Table:
     """Gopher-style repetition metrics per document (quality-filter inputs:
@@ -122,19 +147,8 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     import pandas as pd
 
     n = batch.num_rows
-    # split on non-token runs: "" entries at the edges mark leading/
-    # trailing separators — dropped below, leaving exactly the
-    # findall(TOKEN_PATTERN) token sequence in document order
-    parts = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
-                                   "[^a-z0-9_]+")
-    la = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
-    # sliced-ListArray discipline: offsets are absolute into .values, so
-    # always pair them (never .flatten() alongside raw offsets)
-    offs = np.asarray(la.offsets)
-    words = np.asarray(la.values.to_pandas(), dtype=object)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-    keep = words != ""
-    df = pd.DataFrame({"i": doc_idx[keep], "w": words[keep]})
+    doc_idx, words = _flat_tokens(batch, text_col)
+    df = pd.DataFrame({"i": doc_idx, "w": words})
 
     zeros = pd.Series(0, index=pd.RangeIndex(n), dtype="int64")
 
@@ -202,3 +216,185 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return (batch.append_column("content_sha1", pa.array(sha, pa.string()))
                  .append_column("content_sha256", pa.array(sha256, pa.string()))
                  .append_column("fingerprint64", pa.array(rolling, pa.uint64())))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level text analysis: cross-doc n-gram commonness, distinctive terms
+# ---------------------------------------------------------------------------
+
+
+def _hash_strings(arr) -> "np.ndarray":
+    """Vectorized 64-bit string hashing (pandas siphash with the library's
+    fixed default key): deterministic across processes within one run —
+    these hashes are ENGINE-INTERNAL shuffle keys only, never persisted and
+    never compared against the SQL oracle (which works on the raw
+    strings).  Collision odds at 64 bits are the standard accepted risk of
+    hash-based dedup (CCNet/Gopher style): ~m^2/2^65 for m distinct keys."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(arr, dtype=object))
+
+
+def common_ngrams(ds, n: int = 3, min_docs: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int | None = None):
+    """Cross-document n-gram commonness (the CCNet/C4-style boilerplate
+    signal, word-n-gram unit): per document, how many of its DISTINCT word
+    ``n``-grams appear in at least ``min_docs`` distinct documents
+    corpus-wide.  Output ``(id_col, n_shingles, n_common)`` — all-integer,
+    so the DuckDB oracle compares exactly; ``n_common / n_shingles`` is the
+    boilerplate fraction a quality filter thresholds on.
+
+    Scale shape — join-free, broadcast-free, no driver state:
+
+    1. one corpus scan emits distinct ``(doc, h)`` pairs per document
+       (vectorized n-gram construction + siphash);
+    2. groupby on ``h % n_buckets`` — document frequency per n-gram is a
+       vectorized ``transform('size')`` WITHIN each pandas bucket group
+       (the bucketed-groupby discipline: never one task per n-gram), and
+       each bucket task reduces to per-(bucket, doc) partial counts;
+    3. a doc-bucketed groupby merges the partials (bucketed ``map_groups``
+       with a vectorized in-group sum — Ray's native ``aggregate(Sum)``
+       accumulates per row in Python and measured ~30x slower here).
+
+    The pair table (~corpus token count) crosses the cluster twice — the
+    inherent cost of an exact global document-frequency count; there is no
+    frequent-set broadcast whose size would scale with the corpus (at Web
+    scale the >=min_docs n-gram set is itself in the billions).
+
+    Documents with fewer than ``n`` tokens ride along as ``real=False``
+    zero rows (excluded from frequency counts) so every input document
+    gets an output row, matching the oracle's LEFT JOIN.
+    """
+    import pandas as pd
+
+    from pawpaw_ray.tuning import shuffle_buckets
+
+    n_buckets = n_buckets or shuffle_buckets()
+
+    def pairs_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        di, words = _flat_tokens(b, text_col)
+        m = len(words) - n + 1
+        if m > 0:
+            grams = words[:m].copy()
+            for j in range(1, n):
+                grams = grams + " " + words[j:m + j]
+            within = di[:m] == di[n - 1:]  # windows crossing docs out
+            df = (pd.DataFrame({"i": di[:m][within],
+                                "h": _hash_strings(grams[within])})
+                  .drop_duplicates())
+        else:
+            df = pd.DataFrame({"i": np.empty(0, np.int64),
+                               "h": np.empty(0, np.uint64)})
+        # zero-shingle docs: real=False rows so they surface downstream
+        have = np.zeros(len(ids), dtype=bool)
+        have[df["i"].to_numpy(np.int64)] = True
+        empty_i = np.flatnonzero(~have)
+        doc = np.concatenate([ids[df["i"].to_numpy(np.int64)], ids[empty_i]])
+        # int64 bit-view: Ray's sort shuffle mishandles uint64 > 2^63
+        h = np.concatenate([df["h"].to_numpy(np.uint64).view(np.int64),
+                            np.zeros(len(empty_i), np.int64)])
+        real = np.concatenate([np.ones(len(df), bool),
+                               np.zeros(len(empty_i), bool)])
+        return pa.table({id_col: pa.array(doc, pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "hbucket": pa.array(h % n_buckets, pa.int32()),
+                         "real": pa.array(real, pa.bool_())})
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        real = g[g["real"]]
+        # pairs are distinct per doc, so the h-group size IS the distinct
+        # document frequency of that n-gram
+        common = real["h"].groupby(real["h"]).transform("size") >= min_docs
+        per = pd.DataFrame({
+            "n_shingles": real.groupby(real[id_col], sort=False)["h"].size(),
+            "n_common": common.groupby(real[id_col].to_numpy()).sum(),
+        })
+        fake = g.loc[~g["real"], id_col].unique()
+        per = per.reindex(per.index.union(fake), fill_value=0)
+        ids_out = per.index.to_numpy(np.int64)
+        return pd.DataFrame({id_col: ids_out,
+                             "n_shingles": per["n_shingles"].to_numpy(np.int64),
+                             "n_common": per["n_common"].to_numpy(np.int64),
+                             "dbucket": (ids_out % n_buckets).astype(np.int32)})
+
+    def merge_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, sort=False)[["n_shingles", "n_common"]]
+                .sum().reset_index())
+        return out.astype({id_col: "int64", "n_shingles": "int64",
+                           "n_common": "int64"})
+
+    return (ds.map_batches(pairs_batch, batch_format="pyarrow")
+              .groupby("hbucket")
+              .map_groups(bucket_partials, batch_format="pandas")
+              .groupby("dbucket")
+              .map_groups(merge_doc_bucket, batch_format="pandas"))
+
+
+def top_terms(ds, k: int = 5, id_col: str = "doc_id",
+              text_col: str = "text", n_buckets: int | None = None):
+    """Per-document distinctive-term extraction: the ``k`` tokens with the
+    highest ``tf / ctf`` (term frequency over corpus frequency — a
+    monotone rank proxy for per-doc KL contribution), ties broken by token
+    ascending.  Output ``(id_col, rk, token, tf, ctf)``.
+
+    Rank determinism across engines: ``tf`` and ``ctf`` are exact int64,
+    and the score is ONE IEEE-double division of those integers —
+    correctly rounded, hence bit-identical in numpy and the DuckDB oracle;
+    the float itself never leaves the operator.
+
+    Scale shape — join-free, broadcast-free, no driver-side vocabulary
+    (a Web-scale type count is ~1e9, too big to ship to every worker):
+
+    1. one corpus scan emits per-doc term frequencies ``(doc, token, tf)``
+       (map-side combine: one pandas groupby per batch);
+    2. groupby on ``hash(token) % n_buckets`` — corpus frequency is a
+       vectorized ``transform('sum')`` within each pandas bucket group;
+    3. groupby on ``doc % n_buckets`` — per-doc top-k is a vectorized
+       sort + ``groupby.head(k)`` within each bucket group.
+
+    The tf table crosses the cluster twice (term-bucket, then doc-bucket);
+    both shuffles move ~distinct (doc, token) pairs, already combined
+    below the corpus token count.
+    """
+    import pandas as pd
+
+    from pawpaw_ray.tuning import shuffle_buckets
+
+    n_buckets = n_buckets or shuffle_buckets()
+
+    def tf_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        di, words = _flat_tokens(b, text_col)
+        tf = (pd.DataFrame({"i": di, "w": words})
+              .groupby(["i", "w"], sort=False).size().reset_index(name="tf"))
+        wb = (_hash_strings(tf["w"].to_numpy()) % n_buckets).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids[tf["i"].to_numpy(np.int64)], pa.int64()),
+            "token": pa.array(tf["w"].to_numpy(object), pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
+            "wbucket": pa.array(wb, pa.int32()),
+        })
+
+    def add_ctf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["ctf"] = g.groupby("token", sort=False)["tf"].transform("sum")
+        g["dbucket"] = (g[id_col].to_numpy(np.int64) % n_buckets).astype(np.int32)
+        return g[[id_col, "token", "tf", "ctf", "dbucket"]]
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        # one correctly-rounded double division of exact int64s: the same
+        # bits the oracle's CAST(tf AS DOUBLE)/ctf produces
+        g["score"] = g["tf"].to_numpy(np.float64) / g["ctf"].to_numpy(np.float64)
+        g = g.sort_values([id_col, "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby(id_col, sort=False).head(k).copy()
+        top["rk"] = top.groupby(id_col, sort=False).cumcount() + 1
+        out = top[[id_col, "rk", "token", "tf", "ctf"]]
+        return out.astype({id_col: "int64", "rk": "int64",
+                           "tf": "int64", "ctf": "int64"})
+
+    return (ds.map_batches(tf_batch, batch_format="pyarrow")
+              .groupby("wbucket").map_groups(add_ctf, batch_format="pandas")
+              .groupby("dbucket").map_groups(topk_bucket, batch_format="pandas"))

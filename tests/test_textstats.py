@@ -88,3 +88,67 @@ def test_repetition_stats_vs_naive():
                     ("n_words", "n_distinct_words", "top_word_n",
                      "dup_word_chars", "top_bigram_n"))
         assert got == exp, (i, t, got, exp)
+
+
+def test_common_ngrams_vs_naive(ray_session):
+    """Distributed n-gram commonness == per-doc set arithmetic, including
+    a doc too short to have any 3-gram (zero row must still appear)."""
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from pawpaw_ray.stages.textstats import common_ngrams
+
+    texts = ["a b c d a b c", "b c d e f", "a b c x y z", "hi",
+             "x y z b c d", "", "a b c d e f g"]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": texts})).repartition(3)
+    out = (common_ngrams(ds, n=3, min_docs=2, n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    shingles = {}
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[A-Za-z0-9_]+", t.lower())
+        shingles[i] = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+    df_count = collections.Counter(s for ss in shingles.values() for s in ss)
+    for i in ids:
+        exp_n = len(shingles[i])
+        exp_c = sum(1 for s in shingles[i] if df_count[s] >= 2)
+        assert out.loc[i, "n_shingles"] == exp_n, i
+        assert out.loc[i, "n_common"] == exp_c, i
+    assert len(out) == len(ids)
+
+
+def test_top_terms_vs_naive(ray_session):
+    """Distributed tf/ctf top-k == naive scoring with identical tie rules
+    (score desc, token asc); short docs yield fewer than k rows."""
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from pawpaw_ray.stages.textstats import top_terms
+
+    texts = ["apple apple banana common common common",
+             "banana cherry cherry common",
+             "apple cherry date date date common common",
+             "zed", ""]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": texts})).repartition(2)
+    out = (top_terms(ds, k=3, n_buckets=4).to_pandas()
+           .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+
+    tf = {i: collections.Counter(re.findall(r"[A-Za-z0-9_]+", t.lower()))
+          for i, t in enumerate(texts)}
+    ctf = collections.Counter()
+    for c in tf.values():
+        ctf.update(c)
+    for i in ids:
+        rows = out[out["doc_id"] == i]
+        exp = sorted(tf[i].items(), key=lambda kv: (-kv[1] / ctf[kv[0]], kv[0]))[:3]
+        assert len(rows) == len(exp), i
+        for rk, ((w, f), (_, r)) in enumerate(zip(exp, rows.iterrows()), 1):
+            assert (r["token"], r["tf"], r["ctf"], r["rk"]) == (w, f, ctf[w], rk), i
