@@ -24,13 +24,14 @@ lineage.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import regex as rx
+
+from pawpaw_ray.tuning import hash_bucket
 
 _NORM_EDGE = rx.compile(r"^[\W_]+|[\W_]+$")
 _NORM_WS = rx.compile(r"\s+")
@@ -47,12 +48,6 @@ def normalize_surface(s: str) -> str:
 
 def synthetic_id(norm: str) -> str:
     return "unk-" + hashlib.sha1(norm.encode()).hexdigest()[:12]
-
-
-def _crc_bucket(values: list[str], n_buckets: int) -> np.ndarray:
-    return np.fromiter(
-        (zlib.crc32(v.encode()) % n_buckets for v in values),
-        dtype=np.int32, count=len(values))
 
 
 def canonical_keys_pdf(df: pd.DataFrame) -> pd.DataFrame:
@@ -107,7 +102,7 @@ def entity_partials_batch(batch: pa.Table, n_buckets: int | None = None) -> pa.T
     agg = (df.groupby(["entity_key", "entity_path", "canonical", "surface"],
                       sort=False)
              .size().reset_index(name="n"))
-    agg["ebucket"] = _crc_bucket(agg["entity_key"].tolist(), n_buckets)
+    agg["ebucket"] = hash_bucket(agg["entity_key"].to_numpy(), n_buckets)
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
@@ -146,29 +141,52 @@ def build_entity_table(triples_keyed_ds, n_buckets: int | None = None):
 # exact triple dedup (bucketed)
 # ---------------------------------------------------------------------------
 
-def add_triple_bucket(batch: pa.Table, n_buckets: int | None = None) -> pa.Table:
-    n_buckets = n_buckets or _default_buckets()
-    keep = batch.filter(pc.is_valid(batch["subj_key"]))
-    key = [f"{s}\x00{p}\x00{o}" for s, p, o in zip(
-        keep["subj_key"].to_pylist(), keep["pred"].to_pylist(),
-        keep["obj_key"].to_pylist())]
-    return keep.append_column("tbucket", pa.array(_crc_bucket(key, n_buckets), pa.int32()))
-
-
-def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized first-occurrence dedup + duplicate counts for one bucket."""
+def _first_with_counts(g: pd.DataFrame) -> pd.DataFrame:
+    """Associative first-occurrence combine: keep each triple key's first
+    row by (conv_id, turn_idx, s_start) and sum its ``n_dups``.  Applied
+    per batch (map-side, ``n_dups`` pre-set to 1) and again per bucket —
+    the global first is the first among batch-firsts, and duplicate counts
+    add, so partial+final equals the old single-pass dedup exactly."""
+    if "n_dups" not in g.columns:  # raw rows (not partials): each counts 1
+        g = g.copy()
+        g["n_dups"] = np.int64(1)
     g = g.sort_values(["subj_key", "pred", "obj_key",
                        "conv_id", "turn_idx", "s_start"], kind="mergesort")
     grp = g.groupby(["subj_key", "pred", "obj_key"], sort=False)
     first = g.drop_duplicates(["subj_key", "pred", "obj_key"]).copy()
-    first["n_dups"] = grp.size().to_numpy(np.int64)
+    first["n_dups"] = grp["n_dups"].sum().to_numpy(np.int64)
     return first
+
+
+def add_triple_bucket(batch: pa.Table, n_buckets: int | None = None) -> pa.Table:
+    """Map-side stage of the triple dedup: drop null-subject rows, combine
+    local duplicates (first occurrence + partial count — duplicate triples
+    cluster within conversations, so most duplicate ROWS never cross the
+    shuffle), and assign the triple-key bucket (vectorized hash)."""
+    n_buckets = n_buckets or _default_buckets()
+    keep = batch.filter(pc.is_valid(batch["subj_key"]))
+    df = _first_with_counts(keep.to_pandas())
+    key = (df["subj_key"] + "\x00" + df["pred"] + "\x00" + df["obj_key"])
+    df["tbucket"] = hash_bucket(key.to_numpy(), n_buckets)
+    # pin the Arrow schema: from_pandas would re-infer per batch and an
+    # all-null column (e.g. subj_canonical) then drifts to pa.null(),
+    # splitting the shuffle's block schemas
+    sch = (keep.schema.append(pa.field("n_dups", pa.int64()))
+                      .append(pa.field("tbucket", pa.int32())))
+    return pa.Table.from_pandas(df, schema=sch, preserve_index=False)
+
+
+def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Final reduce of one triple-key bucket (input rows are map-side
+    partials carrying ``n_dups``)."""
+    return _first_with_counts(g)
 
 
 def dedup_triples(triples_keyed_ds, n_buckets: int | None = None):
     """Canonical triples: unresolved-pronoun rows (null subj_key) are
     excluded from the canonical graph; the rest dedup exactly on
-    (subj_key, pred, obj_key)."""
+    (subj_key, pred, obj_key), first occurrence by (conv_id, turn_idx,
+    s_start) winning and the duplicate count kept as lineage."""
     # resolve the fan-out ON THE DRIVER: shipping None would make each
     # worker call shuffle_buckets() per batch — an RPC per batch, and on an
     # autoscaling cluster two batches could disagree on the bucket count,

@@ -37,7 +37,6 @@ deterministic and idempotent, so Ray task retries are safe.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -52,8 +51,17 @@ def _default_buckets() -> int:
     return shuffle_buckets()
 
 
-def _bucket_of(conv: str, chunk: int, n_buckets: int) -> int:
-    return zlib.crc32(f"{conv}\x00{chunk}".encode()) % n_buckets
+def _salted_buckets(conv_vals, chunk: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Vectorized salted-bucket assignment for (conv_id, chunk) keys:
+    siphash of the conv string XOR splitmix64 of the chunk index, mod
+    ``n_buckets``.  Shared by the real rows and the carry partials (which
+    re-key to chunk k+1) so a chunk's carries land with its rows; replaces
+    the per-row ``zlib.crc32(f"{conv}\\x00{chunk}")`` generator loop."""
+    from pawpaw_ray.stages.dedup import _splitmix64
+
+    h = pd.util.hash_array(np.asarray(conv_vals, dtype=object))
+    mixed = h ^ _splitmix64(chunk.astype(np.uint64))
+    return (mixed % np.uint64(n_buckets)).astype(np.int32)
 
 
 def _resolve_arrays(turns, pron, subj_id, subj_path, subj_can, via,
@@ -171,10 +179,9 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
     n_buckets = n_buckets or _default_buckets()
     if not salt_chunks:
         def add_bucket(b: pa.Table) -> pa.Table:
-            conv = b["conv_id"].to_pylist()
-            buck = np.fromiter(
-                (zlib.crc32(c.encode()) % n_buckets for c in conv),
-                dtype=np.int32, count=len(conv))
+            from pawpaw_ray.tuning import hash_bucket
+            buck = hash_bucket(b["conv_id"].to_pandas().to_numpy(object),
+                               n_buckets)
             return b.append_column("cbucket", pa.array(buck, pa.int32()))
 
         if add_keys:
@@ -200,10 +207,8 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
     def add_salt_cols(b: pa.Table) -> pa.Table:
         turn = b["turn_idx"].to_numpy()
         chunk = (turn // chunk_turns).astype(np.int64)
-        conv = b["conv_id"].to_pylist()
-        buck = np.fromiter(
-            (_bucket_of(c, k, n_buckets) for c, k in zip(conv, chunk)),
-            dtype=np.int32, count=len(conv))
+        conv = b["conv_id"].to_pandas().to_numpy(object)
+        buck = _salted_buckets(conv, chunk, n_buckets)
         return (b.append_column("chunk", pa.array(chunk, pa.int64()))
                  .append_column("cbucket", pa.array(buck, pa.int32()))
                  .append_column("is_carry",
@@ -236,10 +241,8 @@ def resolve_coref(triples_ds, window_turns: int = 8, chunk_turns: int = 512,
         # full triple schema kept (non-key payload columns ride along and are
         # dropped with the row post-scan) so union needs no schema surgery
         ck = t["chunk"].to_numpy() + 1
-        conv = t["conv_id"].to_pylist()
-        buck = np.fromiter(
-            (_bucket_of(c, int(k), n_buckets) for c, k in zip(conv, ck)),
-            dtype=np.int32, count=len(conv))
+        conv = t["conv_id"].to_pandas().to_numpy(object)
+        buck = _salted_buckets(conv, ck.astype(np.int64), n_buckets)
         cols = {"chunk": pa.array(ck, pa.int64()),
                 "cbucket": pa.array(buck, pa.int32()),
                 "is_carry": pa.array(np.ones(len(conv), dtype=bool))}
