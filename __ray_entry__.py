@@ -318,6 +318,13 @@ def _q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
 
 
+def _q_quota_sample(sf_dir: str):
+    from pawpaw_ray.stages.curation import quota_sample
+    # k_scale=3: the sf fixtures hold uniform 25-doc sources, so quota =
+    # floor(3*sqrt(25)) = 15 < 25 — the cap actually bites at every sf
+    return quota_sample(_docs(sf_dir, ["doc_id", "source"]), k_scale=3)
+
+
 def _q_common_ngrams(sf_dir: str):
     from pawpaw_ray.stages.textstats import common_ngrams
     return common_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=3, min_docs=3)
@@ -627,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "common_ngrams": _q_common_ngrams,
         "top_terms": _q_top_terms,
+        "quota_sample": _q_quota_sample,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1019,6 +1027,19 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_STATS_SQL,
         "common_ngrams": _COMMON_NGRAMS_SQL,
         "top_terms": _TOP_TERMS_SQL,
+        # sqrt is IEEE-correctly-rounded (unlike pow), so the per-source
+        # quota floor(8 * sqrt(n)) is bit-identical to the numpy kernel
+        "quota_sample":
+            "WITH stats AS (SELECT source, count(*) AS n_docs "
+            "  FROM documents GROUP BY source), "
+            "quota AS (SELECT source, CAST(floor(3 * sqrt(CAST(n_docs AS "
+            "  DOUBLE))) AS BIGINT) AS k FROM stats), "
+            "ranked AS (SELECT d.source, d.doc_id, q.k, row_number() OVER ("
+            "  PARTITION BY d.source "
+            "  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk "
+            "  FROM documents d JOIN quota q USING (source)) "
+            "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk "
+            "FROM ranked WHERE rk <= k",
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,

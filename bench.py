@@ -97,8 +97,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",
                  "arborform_flow", "postorator_grid",
-                 "hash_split", "stratified_sample", "decontaminate",
-                 "token_pack", "shuffle_order")
+                 "hash_split", "stratified_sample", "quota_sample",
+                 "decontaminate", "token_pack", "shuffle_order")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

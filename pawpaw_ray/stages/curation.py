@@ -390,3 +390,72 @@ def shuffle_order(ds, id_col: str = "doc_id"):
 
     return keyed.groupby("bucket").map_groups(enumerate_bucket,
                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# sqrt-quota source mixing
+# ---------------------------------------------------------------------------
+
+
+def quota_sample(ds, k_scale: int = 8, strata_col: str = "source",
+                 id_col: str = "doc_id", quotas: dict | None = None):
+    """Heavy-tail-flattening source mixing: keep at most
+    ``floor(k_scale * sqrt(n_s))`` documents of each stratum
+    (source/domain), chosen by deterministic md5 rank — the
+    sqrt-temperature variant of the data-mixing step training pipelines
+    apply before packing: giant crawl domains are downweighted toward the
+    square root of their size while small curated sources survive whole.
+
+    Exactness across engines: ``sqrt`` is IEEE-correctly-rounded (unlike
+    ``pow``), and each quota is ``floor(int * sqrt(int))`` — one multiply
+    of exact doubles, with NO cross-source normalization sum (whose float
+    accumulation ORDER would differ between engines) — so numpy and the
+    DuckDB oracle compute bit-identical quotas.
+
+    Scale shape: the stratum-count pass is a per-batch map-side combine
+    whose global sum lands on the driver — bounded by the stratum count
+    (sources; for per-domain quotas in the millions swap the dict for the
+    bucketed-groupby pattern).  Selection is the
+    :func:`stratified_sample` partial-top-k discipline with a per-stratum
+    ``k``: each block keeps at most ``k_s`` rows per stratum, so the final
+    per-stratum merge sees ``blocks x k_s`` rows, never the corpus.
+
+    Two passes over ``ds`` (count, then select): computed inputs should be
+    materialized by the caller, or pass precomputed ``quotas`` (the
+    ``n_rows`` discipline of ``ann_topk_ivf``) to skip the count pass.
+    """
+    import pandas as pd
+    import ray
+
+    from pawpaw_ray.state.broadcast import cached_get
+
+    if quotas is None:
+        def count_partial(b: pa.Table) -> pa.Table:
+            c = (pa.table({strata_col: b[strata_col]}).to_pandas()
+                 .groupby(strata_col, sort=False).size().reset_index(name="n"))
+            return pa.Table.from_pandas(c, preserve_index=False)
+
+        counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+                    .to_pandas().groupby(strata_col)["n"].sum())
+        quotas = {s: int(np.floor(k_scale * np.sqrt(np.float64(n))))
+                  for s, n in counts.items()}
+    qref = ray.put(quotas)
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        df = pa.table({strata_col: b[strata_col],
+                       id_col: b[id_col]}).to_pandas()
+        df["mk"] = _md5_rank_key(df[id_col].tolist())
+        df = df.sort_values(["mk", id_col])
+        ks = df[strata_col].map(cached_get(qref)).fillna(0).to_numpy()
+        cc = df.groupby(strata_col, sort=False).cumcount().to_numpy()
+        return pa.Table.from_pandas(df[cc < ks], preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["mk", id_col])
+        k = int(cached_get(qref).get(g[strata_col].iloc[0], 0))
+        g = g.head(k).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[strata_col, id_col, "rk"]]
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+              .groupby(strata_col).map_groups(merge, batch_format="pandas"))

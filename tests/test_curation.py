@@ -351,3 +351,60 @@ def test_eval_shingle_set_distinct_aggregate_path(ray_session):
     a = ray.get(eval_shingle_set(ds))
     b = ray.get(eval_shingle_set(ds, driver_merge_bytes=0))
     assert np.array_equal(a, b)
+
+
+def test_quota_sample_vs_sql(ray_session):
+    """sqrt-quota source mixing == the DuckDB window expression: per-source
+    quota floor(k*sqrt(n)), md5-rank selection, small sources kept whole."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.curation import quota_sample
+
+    rng = np.random.RandomState(11)
+    n = 1200
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # skewed mix: one giant source, mid sources, one tiny (kept whole)
+        "source": rng.choice(["web", "web", "web", "web", "news", "wiki",
+                              "books"], size=n),
+    })
+    df.loc[:2, "source"] = "tiny"
+    ds = rd.from_pandas(df).repartition(5)
+    out = (quota_sample(ds, k_scale=8, strata_col="source")
+           .to_pandas().sort_values(["source", "rk"]).reset_index(drop=True))
+
+    exp = duckdb.sql("""
+        WITH stats AS (SELECT source, count(*) n_docs FROM df GROUP BY source),
+        quota AS (SELECT source,
+                  CAST(floor(8 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) k
+                  FROM stats),
+        ranked AS (SELECT d.source, d.doc_id, q.k, row_number() OVER (
+                     PARTITION BY d.source
+                     ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) rk
+                   FROM df d JOIN quota q USING (source))
+        SELECT source, doc_id, CAST(rk AS BIGINT) rk FROM ranked
+        WHERE rk <= k ORDER BY source, rk""").df()
+    pd.testing.assert_frame_equal(out[["source", "doc_id", "rk"]], exp)
+
+    # tiny source survives whole; the giant one is capped at 8*sqrt(n)
+    assert (out["source"] == "tiny").sum() == 3
+    n_web = int((df["source"] == "web").sum())
+    assert (out["source"] == "web").sum() == int(np.floor(8 * np.sqrt(n_web)))
+
+
+def test_quota_sample_precomputed_quotas(ray_session):
+    """quotas= skips the count pass and pins the same selection."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.curation import quota_sample
+
+    df = _sample_frame(300)
+    ds = rd.from_pandas(df).repartition(3)
+    auto = quota_sample(ds, k_scale=4, strata_col="lang").to_pandas()
+    counts = df["lang"].value_counts()
+    quotas = {s: int(np.floor(4 * np.sqrt(np.float64(n))))
+              for s, n in counts.items()}
+    pinned = quota_sample(ds, strata_col="lang", quotas=quotas).to_pandas()
+    a = auto.sort_values(["lang", "rk"]).reset_index(drop=True)
+    b = pinned.sort_values(["lang", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
