@@ -318,6 +318,15 @@ def _q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
 
 
+def _q_quantiles(sf_dir: str):
+    from pawpaw_ray.stages.quantiles import exact_quantiles
+    # small gate/bins so the sf0.01 fixture (~10k events) exercises a real
+    # refinement round, not just the final pull
+    return exact_quantiles(_events(sf_dir, ["value"]), "value",
+                           qs=(0.25, 0.5, 0.9, 0.99),
+                           n_bins=256, gate_rows=2000)
+
+
 def _q_quota_sample(sf_dir: str):
     from pawpaw_ray.stages.curation import quota_sample
     # k_scale=3: the sf fixtures hold uniform 25-doc sources, so quota =
@@ -635,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_ngrams": _q_common_ngrams,
         "top_terms": _q_top_terms,
         "quota_sample": _q_quota_sample,
+        "quantiles": _q_quantiles,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
@@ -1040,6 +1050,19 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents d JOIN quota q USING (source)) "
             "SELECT source, doc_id, CAST(rk AS BIGINT) AS rk "
             "FROM ranked WHERE rk <= k",
+        # rank arithmetic in DOUBLE on both sides: ceil(q*n) on the decimal
+        # literal would disagree with the engine's IEEE product whenever
+        # q*n is a decimal-exact integer (e.g. q=0.9, n divisible by 10)
+        "quantiles":
+            "WITH s AS (SELECT value, row_number() OVER (ORDER BY value) rn "
+            "  FROM events), "
+            "n AS (SELECT count(*) AS n FROM events), "
+            "q AS (SELECT CAST(v.q AS DOUBLE) AS q "
+            "  FROM (VALUES (0.25), (0.5), (0.9), (0.99)) v(q)) "
+            "SELECT q.q AS q, CAST(ceil(q.q * n.n) AS BIGINT) AS rank, "
+            "  s.value AS value "
+            "FROM q CROSS JOIN n "
+            "JOIN s ON s.rn = CAST(ceil(q.q * n.n) AS BIGINT)",
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,

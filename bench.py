@@ -85,7 +85,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     else:
         names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
-                 "events_sessions", "ann_topk", "ann_topk_lsh",
+                 "events_sessions", "quantiles", "ann_topk", "ann_topk_lsh",
                  "ann_topk_ivf", "simhash",
                  "minhash_dedup", "near_dup_jaccard", "simhash_clusters",
                  "embedding_near_dup", "segment_stats", "plumule_select",
