@@ -152,3 +152,44 @@ def test_top_terms_vs_naive(ray_session):
         assert len(rows) == len(exp), i
         for rk, ((w, f), (_, r)) in enumerate(zip(exp, rows.iterrows()), 1):
             assert (r["token"], r["tf"], r["ctf"], r["rk"]) == (w, f, ctf[w], rk), i
+
+
+def test_common_ngrams_block_and_bucket_invariance(ray_session):
+    """Output is independent of block count and shuffle fan-out, including
+    a hot n-gram shared by EVERY doc (one giant h-group in one bucket)."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.textstats import common_ngrams
+
+    boiler = "all rights reserved contact us for details"
+    texts = [f"doc {i} body text {i % 7} {boiler}" for i in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": texts})
+
+    outs = []
+    for parts, nb in ((1, 2), (6, 16)):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(common_ngrams(ds, n=3, min_docs=3, n_buckets=nb)
+                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # the boilerplate tail is common to all docs
+    assert (outs[0]["n_common"] >= 5).all()
+
+
+def test_top_terms_block_and_bucket_invariance(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pawpaw_ray.stages.textstats import top_terms
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(80)]
+    t = pa.table({"doc_id": pa.array(range(80), pa.int64()), "text": texts})
+
+    outs = []
+    for parts, nb in ((1, 2), (5, 16)):
+        ds = rd.from_arrow(t).repartition(parts)
+        outs.append(top_terms(ds, k=4, n_buckets=nb).to_pandas()
+                    .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
