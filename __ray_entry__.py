@@ -318,6 +318,24 @@ def _q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Entity PageRank over the canonical triple graph.  Iterative float
+    algorithm — deliberately NO oracle_sql entry (the driver records the
+    weaker rows-only check); numerics are pinned by
+    tests/test_graph.py's dense power-iteration differential."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pawpaw_ray.stages.graph import pagerank
+
+    triples, _ = _kg_outputs(sf_dir)
+    e = triples[triples["obj_key"].notna()]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(e["subj_key"].to_numpy(object), pa.string()),
+        "dst": pa.array(e["obj_key"].to_numpy(object), pa.string())}))
+    return pagerank(edges, n_iter=5)
+
+
 def _q_quantiles(sf_dir: str):
     from pawpaw_ray.stages.quantiles import exact_quantiles
     # small gate/bins so the sf0.01 fixture (~10k events) exercises a real
@@ -645,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "quota_sample": _q_quota_sample,
         "quantiles": _q_quantiles,
+        "kg_pagerank": _q_kg_pagerank,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,

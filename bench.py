@@ -96,7 +96,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "ontology_mentions",
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",
-                 "arborform_flow", "postorator_grid",
+                 "arborform_flow", "postorator_grid", "kg_pagerank",
                  "hash_split", "stratified_sample", "quota_sample",
                  "decontaminate", "token_pack", "shuffle_order")
     if names:
