@@ -109,11 +109,12 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         # round-3 bench file's 3x outliers cost a full (phantom)
         # regression investigation
         raw: dict[str, list[float]] = {n: [] for n in names}
+        import pyarrow as pa
         for _ in range(reps):
             for name in names:
                 t0 = time.monotonic()
                 res = q[name](sf_dir)
-                if not isinstance(res, pd.DataFrame):
+                if not isinstance(res, (pd.DataFrame, pa.Table)):
                     res.count()  # force execution of lazy Datasets
                 raw[name].append(round(time.monotonic() - t0, 3))
         qtimes = {n: {"median": _median(sorted(v)), "reps": v}
