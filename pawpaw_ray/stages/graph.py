@@ -75,13 +75,16 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
     def deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("node", sort=False)["deg"].sum().reset_index()
         out["deg"] = out["deg"].astype(np.int64)
+        out["nbucket"] = g["nbucket"].iloc[0]
         return out
 
-    degrees = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
-               .groupby("nbucket")
-               .map_groups(deg_reduce, batch_format="pandas")
-               .to_pandas())
-    n_nodes = len(degrees)
+    # (node, deg, nbucket) — stays DISTRIBUTED until the gate decides;
+    # only the broadcast path pulls it to the driver
+    degrees_ds = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+                  .groupby("nbucket")
+                  .map_groups(deg_reduce, batch_format="pandas")
+                  .materialize())
+    n_nodes = degrees_ds.count()
     if n_nodes == 0:
         return rd.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
@@ -89,9 +92,11 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     state_bytes = n_nodes * 24
     if state_bytes > broadcast_bytes:
-        return _pagerank_colocated(edges_ds, degrees, src_col, dst_col,
+        return _pagerank_colocated(edges_ds, degrees_ds, n_nodes,
+                                   src_col, dst_col,
                                    damping, n_iter, n_buckets)
 
+    degrees = degrees_ds.drop_columns(["nbucket"]).to_pandas()
     nodes = degrees["node"].to_numpy(object)
     order = np.argsort(nodes, kind="stable")
     nodes, deg = nodes[order], degrees["deg"].to_numpy(np.int64)[order]
@@ -134,81 +139,133 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         "rank", pa.array(ranks, pa.float64())))
 
 
-def _pagerank_colocated(edges_ds, degrees: pd.DataFrame, src_col, dst_col,
-                        damping, n_iter, n_buckets):
-    """Broadcast-free path: per iteration, union the (node, share) table
-    with the edges, group by hash(src) bucket, join locally inside each
-    bucket task, then reduce contributions by dst bucket.  The rank/degree
-    table itself stays distributed ONLY as Dataset rows; the driver never
-    holds more than the per-iteration aggregate scalars.
+def _pagerank_colocated(edges_ds, degrees_ds, n_nodes: int, src_col,
+                        dst_col, damping, n_iter, n_buckets):
+    """Broadcast-free path for rank vectors too big to ship to workers:
+    ALL node state (degree, rank) lives as Dataset rows end to end — the
+    driver holds only two scalars per iteration (the dangling mass and
+    the teleport floor).
 
-    NOTE: `degrees` arrives as a driver DataFrame today, which contradicts
-    the too-big-to-broadcast premise; this path exists to keep the
-    iteration semantics broadcast-free and is exercised by tests via a
-    tiny `broadcast_bytes`.  Fully externalizing the degree table (keep it
-    as a Dataset and ride it through the same union) is the named upgrade
-    when node state truly exceeds driver memory.
+    Per iteration, three bucketed shuffles of compact rows:
+
+    1. degree rows ∪ rank rows by ``hash(node) % B`` → per-node out-share
+       ``rank / deg`` (0 for dangling), joined locally in each bucket
+       task.  Nodes missing from the rank table hold exactly the previous
+       iteration's teleport floor (they received no contribution), so the
+       in-task reindex fills with that scalar — no node is ever dropped.
+       The task also emits one dangling-mass partial row (kind=3).
+    2. share rows ∪ edge rows by src bucket → local join → per-dst
+       combined contributions.
+    3. contributions by dst bucket → new rank rows
+       ``floor + damping * incoming``.
+
+    All blocks are uniform (node, d, val, kind, bucket) pandas frames
+    ("" placeholder instead of NULL in d — a union of blocks must never
+    let an all-null column drift to a different dtype).  Edge rows are
+    re-shuffled each iteration (Ray Datasets keep no persistent
+    partitioning between operations; a partition-pinned actor variant
+    would amortize that and is the named upgrade path).
     """
     import ray.data as rd
 
-    n_nodes = len(degrees)
-    deg_map = degrees.set_index("node")["deg"]
-    ranks = pd.Series(1.0 / n_nodes, index=deg_map.index)
+    K_DEG, K_RANK, K_EDGE, K_DANG = 0, 1, 2, 3
 
     def bucket_of(vals) -> np.ndarray:
         return (pd.util.hash_array(np.asarray(vals, dtype=object))
                 % np.uint64(n_buckets)).astype(np.int32)
 
-    for _ in range(n_iter):
-        share = (ranks / deg_map.replace(0, 1)).where(deg_map > 0, 0.0)
-        share_tbl = pa.table({
-            "s": pa.array(share.index.to_numpy(object), pa.string()),
-            "d": pa.array([None] * n_nodes, pa.string()),
-            "c": pa.array(share.to_numpy(np.float64), pa.float64()),
-            "sbucket": pa.array(bucket_of(share.index.to_numpy(object)),
-                                pa.int32()),
-            "is_rank": pa.array(np.ones(n_nodes, bool)),
+    def frame(node, d, val, kind, bucket) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.asarray(node, dtype=object),
+            "d": np.asarray(d, dtype=object),
+            "val": np.asarray(val, dtype=np.float64),
+            "kind": np.full(len(node), kind, dtype=np.int8),
+            "bucket": np.asarray(bucket, dtype=np.int32),
         })
 
-        def edge_rows(b: pa.Table) -> pa.Table:
-            df = pa.table({"s": b[src_col], "d": b[dst_col]}).to_pandas()
-            return pa.table({
-                "s": pa.array(df["s"].to_numpy(object), pa.string()),
-                "d": pa.array(df["d"].to_numpy(object), pa.string()),
-                "c": pa.array(np.zeros(len(df)), pa.float64()),
-                "sbucket": pa.array(bucket_of(df["s"].to_numpy(object)),
-                                    pa.int32()),
-                "is_rank": pa.array(np.zeros(len(df), bool)),
-            })
+    def deg_rows(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        n = df["node"].to_numpy(object)
+        return frame(n, [""] * len(df), df["deg"].to_numpy(np.float64),
+                     K_DEG, df["nbucket"].to_numpy(np.int32))
 
-        def local_join(g: pd.DataFrame) -> pd.DataFrame:
-            r = g[g["is_rank"]].set_index("s")["c"]
-            e = g[~g["is_rank"]]
-            c = r.reindex(e["s"]).to_numpy(np.float64)
+    def edge_rows(b: pa.Table) -> pd.DataFrame:
+        df = pa.table({"s": b[src_col], "d": b[dst_col]}).to_pandas()
+        s_arr = df["s"].to_numpy(object)
+        return frame(s_arr, df["d"].to_numpy(object),
+                     np.zeros(len(df)), K_EDGE, bucket_of(s_arr))
+
+    degree_rows = (degrees_ds.map_batches(deg_rows, batch_format="pyarrow")
+                   .materialize())
+    rank_rows = None              # iteration 0: everyone at 1/n via floor
+    floor = 1.0 / n_nodes         # rank of any node absent from rank_rows
+
+    for _ in range(n_iter):
+        floor_now = floor
+
+        def share_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            deg = g[g["kind"] == K_DEG].set_index("node")["val"]
+            rnk = g[g["kind"] == K_RANK].set_index("node")["val"] \
+                .reindex(deg.index, fill_value=floor_now)
+            share = (rnk / deg.where(deg > 0, 1.0)).where(deg > 0, 0.0)
+            nodes = deg.index.to_numpy(object)
+            out = frame(nodes, [""] * len(nodes),
+                        share.to_numpy(np.float64), K_RANK,
+                        bucket_of(nodes))
+            dang = frame([""], [""], [float(rnk[deg == 0].sum())],
+                         K_DANG, [0])
+            return pd.concat([out, dang], ignore_index=True)
+
+        pass1 = degree_rows if rank_rows is None \
+            else degree_rows.union(rank_rows)
+        shares = (pass1.groupby("bucket")
+                  .map_groups(share_bucket, batch_format="pandas")
+                  .materialize())
+
+        dangling_mass = float(sum(
+            b["val"].to_pandas().sum() for b in
+            shares.filter(expr="kind == 3")
+                  .iter_batches(batch_format="pyarrow")))
+        floor = ((1.0 - damping) / n_nodes
+                 + damping * dangling_mass / n_nodes)
+        floor_next = floor
+
+        def contrib_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[g["kind"] != K_DANG]
+            sh = g[g["kind"] == K_RANK].set_index("node")["val"]
+            e = g[g["kind"] == K_EDGE]
+            c = sh.reindex(e["node"]).fillna(0.0).to_numpy(np.float64)
             agg = (pd.DataFrame({"d": e["d"].to_numpy(object), "c": c})
                    .groupby("d", sort=False)["c"].sum().reset_index())
-            agg["dbucket"] = bucket_of(agg["d"].to_numpy(object))
-            return agg
+            return frame(agg["d"].to_numpy(object), [""] * len(agg),
+                         agg["c"].to_numpy(np.float64), K_RANK,
+                         bucket_of(agg["d"].to_numpy(object)))
 
-        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("d", sort=False)["c"].sum().reset_index()
+        def new_ranks(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("node", sort=False)["val"].sum().reset_index()
+            nodes = agg["node"].to_numpy(object)
+            return frame(nodes, [""] * len(nodes),
+                         floor_next + damping * agg["val"].to_numpy(np.float64),
+                         K_RANK, bucket_of(nodes))
 
-        inc = (edges_ds.map_batches(edge_rows, batch_format="pyarrow")
-               .union(rd.from_arrow(share_tbl))
-               .groupby("sbucket").map_groups(local_join,
-                                              batch_format="pandas")
-               .groupby("dbucket").map_groups(reduce_bucket,
-                                              batch_format="pandas")
-               .to_pandas())
-        new = pd.Series(0.0, index=deg_map.index)
-        if len(inc):
-            new.loc[inc["d"].to_numpy(object)] = inc["c"].to_numpy(np.float64)
-        dangling_mass = float(ranks[deg_map == 0].sum())
-        ranks = ((1.0 - damping) / n_nodes
-                 + damping * (new + dangling_mass / n_nodes))
+        rank_rows = (shares.union(edges_ds.map_batches(
+                         edge_rows, batch_format="pyarrow"))
+                     .groupby("bucket")
+                     .map_groups(contrib_bucket, batch_format="pandas")
+                     .groupby("bucket")
+                     .map_groups(new_ranks, batch_format="pandas")
+                     .materialize())
 
-    out = pa.table({"node": pa.array(deg_map.index.to_numpy(object),
-                                     pa.string()),
-                    "rank": pa.array(ranks.to_numpy(np.float64),
-                                     pa.float64())})
-    return rd.from_arrow(out)
+    # final: fill nodes absent from the last rank table with the floor
+    floor_last = floor
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g[g["kind"] == K_DEG].set_index("node")["val"]
+        rnk = g[g["kind"] == K_RANK].set_index("node")["val"] \
+            .reindex(deg.index, fill_value=floor_last)
+        return pd.DataFrame({"node": deg.index.to_numpy(object),
+                             "rank": rnk.to_numpy(np.float64)})
+
+    return (degree_rows.union(rank_rows)
+            .groupby("bucket")
+            .map_groups(finalize, batch_format="pandas"))
