@@ -36,8 +36,10 @@ def _transcripts_dir(sf_dir: str) -> str:
 
 
 @functools.lru_cache(maxsize=4)
-def _kg_outputs(sf_dir: str):
-    """Run the KG pipeline once per sf_dir; both kg_* queries reuse it."""
+def _kg_datasets(sf_dir: str):
+    """Run the KG pipeline once per sf_dir; returns the (triples, entities)
+    MATERIALIZED Datasets — downstream operators (pagerank) consume these
+    directly with zero driver-side materialization."""
     from pawpaw_ray.pipelines.kg import build_kg
     from pawpaw_ray.sources.transcripts import read_transcripts
     from pawpaw_ray.tuning import tune_context
@@ -47,9 +49,17 @@ def _kg_outputs(sf_dir: str):
     d = _transcripts_dir(sf_dir)
     catalog = pq.read_table(os.path.join(d, "alias_catalog.parquet"))
     out = build_kg(read_transcripts(d), catalog)
-    triples = out["triples"].to_pandas().sort_values(
+    return out["triples"].materialize(), out["entities"].materialize()
+
+
+@functools.lru_cache(maxsize=4)
+def _kg_outputs(sf_dir: str):
+    """Driver-side pandas views of the KG outputs — ONLY for the queries
+    that must return comparison tables (kg_triples / kg_entities)."""
+    triples_ds, entities_ds = _kg_datasets(sf_dir)
+    triples = triples_ds.to_pandas().sort_values(
         ["subj_key", "pred", "obj_key"]).reset_index(drop=True)
-    entities = out["entities"].to_pandas().sort_values(
+    entities = entities_ds.to_pandas().sort_values(
         "entity_id").reset_index(drop=True)
     return triples, entities
 
@@ -319,21 +329,32 @@ def _q_dedup_keep_best(sf_dir: str):
 
 
 def _q_kg_pagerank(sf_dir: str):
-    """Entity PageRank over the canonical triple graph.  Iterative float
-    algorithm — deliberately NO oracle_sql entry (the driver records the
-    weaker rows-only check); numerics are pinned by
-    tests/test_graph.py's dense power-iteration differential."""
+    """Entity PageRank over the canonical triple graph — Dataset-native
+    end to end: the materialized triples Dataset feeds ``pagerank``
+    through one null-filtering ``map_batches`` (no driver-side triple
+    materialization anywhere on this path).  Ranks are rounded to 1e-9 so
+    the float-iterative result hashes deterministically against the
+    golden oracle (an independent dense numpy power iteration over the
+    golden triple table; the two agree to ~1e-15 — tests/test_graph.py)."""
     import pyarrow as pa
-    import ray.data as rd
+    import pyarrow.compute as pc
 
     from pawpaw_ray.stages.graph import pagerank
 
-    triples, _ = _kg_outputs(sf_dir)
-    e = triples[triples["obj_key"].notna()]
-    edges = rd.from_arrow(pa.table({
-        "src": pa.array(e["subj_key"].to_numpy(object), pa.string()),
-        "dst": pa.array(e["obj_key"].to_numpy(object), pa.string())}))
-    return pagerank(edges, n_iter=5)
+    triples_ds, _ = _kg_datasets(sf_dir)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b["obj_key"])
+        return pa.table({"src": pc.filter(b["subj_key"], m),
+                         "dst": pc.filter(b["obj_key"], m)})
+
+    def round_ranks(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("rank"), "rank",
+                            pc.round(b["rank"], ndigits=9))
+
+    edges = triples_ds.map_batches(to_edges, batch_format="pyarrow")
+    return (pagerank(edges, n_iter=5)
+            .map_batches(round_ranks, batch_format="pyarrow"))
 
 
 def _q_quantiles(sf_dir: str):
@@ -1088,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         # --- golden-parquet oracles (scripts/make_golden.py: reference
         # implementation or independent naive reimplementation) -----------
         "kg_triples": _golden_sql("kg_triples"),
+        "kg_pagerank": _golden_sql("kg_pagerank"),
         "kg_entities": _golden_sql("kg_entities"),
         "kg_mentions": _golden_sql("kg_mentions"),
         "segment_stats": _golden_sql("segment_stats"),

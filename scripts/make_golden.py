@@ -240,6 +240,33 @@ def golden_kg(d: str, turns: pd.DataFrame, catalog: pa.Table) -> None:
     _write(d, "kg_entities", entities)
 
 
+def golden_pagerank(d: str, damping: float = 0.85, n_iter: int = 5) -> None:
+    """Dense numpy power iteration over the golden triple table's entity
+    graph — identical semantics to ``stages/graph.pagerank`` (duplicate-edge
+    multiplicity, uniform dangling redistribution, (1-d)/n teleport) but a
+    single-process dense implementation sharing no code with the Ray stage.
+    Ranks rounded to 1e-9: the distributed path agrees with dense summation
+    to ~1e-15 (tests/test_graph.py), so the rounded values hash-match."""
+    t = pq.read_table(os.path.join(d, "kg_triples.parquet"),
+                      columns=["subj_key", "obj_key"]).to_pandas()
+    t = t[t["obj_key"].notna()]
+    nodes = sorted(set(t["subj_key"]) | set(t["obj_key"]))
+    idx = {k: i for i, k in enumerate(nodes)}
+    n = len(nodes)
+    s = t["subj_key"].map(idx).to_numpy(np.int64)
+    dd = t["obj_key"].map(idx).to_numpy(np.int64)
+    deg = np.bincount(s, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        new = np.zeros(n)
+        np.add.at(new, dd, share[s])
+        dm = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (new + dm / n)
+    _write(d, "kg_pagerank", pd.DataFrame(
+        {"node": nodes, "rank": np.round(r, 9)}))
+
+
 def golden_mentions(d: str, turns: pd.DataFrame, catalog: pa.Table) -> None:
     """Mention scan with stdlib ``re`` (leftmost, longest-alternative-first
     by explicit length-descending ordering — the \\L<> semantics)."""
@@ -893,6 +920,7 @@ def main() -> None:
     turns, catalog = _transcripts()
     docs = _documents()
     golden_kg(d, turns, catalog)
+    golden_pagerank(d)
     golden_mentions(d, turns, catalog)
     golden_segment_and_select(d, docs)
     golden_numbers(d, turns)
