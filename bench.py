@@ -72,7 +72,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 
     # the shared VM swings ~2x run to run (see BASELINE.md): repeat and
     # report the median + all reps so a noise outlier self-identifies
-    reps = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "2")))
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "3")))
     head_runs = [one_headline() for _ in range(reps)]
     head_secs = sorted(r[0] for r in head_runs)
     headline = _median(head_secs)
