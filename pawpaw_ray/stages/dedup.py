@@ -80,31 +80,171 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+# per-gram-position odd multipliers for the k-gram shingle combine (rule
+# constant of the shingle-hash family, shared by batch and single-doc paths)
+_GRAM_MULT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _gram_mults(k: int) -> np.ndarray:
+    m = _GRAM_MULT_CACHE.get(k)
+    if m is None:
+        m = (_splitmix64(np.arange(1, k + 1, dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1))
+        _GRAM_MULT_CACHE[k] = m
+    return m
+
+
+def _token_hash_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenizer+hasher for a whole batch of texts.
+
+    Returns ``(flat uint64 token hashes, int64 per-doc offsets, len D+1)``.
+    Token SET semantics identical to :func:`_norm_tokens` — maximal
+    ``[A-Za-z0-9_]+`` runs, split FIRST then lowered (so no unicode char
+    can case-fold INTO the ASCII token class, e.g. U+212A → 'k').  Token
+    hash = siphash via ``pd.util.hash_array`` (fixed key: deterministic
+    across processes; ``categorize=True`` hashes each unique token once).
+    """
+    import pyarrow.compute as pc
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([t if t is not None else "" for t in texts],
+                         pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    D = len(texts)
+    texts = pc.fill_null(texts, "")
+    la = pc.split_pattern_regex(texts, pattern="[^A-Za-z0-9_]+")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    # slice-aware child access: flatten() rebases values; rebase offsets too
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    toks = pc.utf8_lower(la.flatten())
+    lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+    keep = lens > 0  # split() emits "" at text edges / for empty docs
+    counts_all = np.diff(offs)
+    doc_idx = np.repeat(np.arange(D, dtype=np.int64), counts_all)
+    new_counts = np.bincount(doc_idx[keep], minlength=D)
+    new_offs = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offs[1:])
+    kept = toks.to_numpy(zero_copy_only=False)[keep]
+    if len(kept) == 0:
+        return np.empty(0, np.uint64), new_offs
+    th = pd.util.hash_array(kept).astype(np.uint64)
+    return th, new_offs
+
+
+def _shingle_hash_flat(th: np.ndarray, offs: np.ndarray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Flat token hashes → flat word-k-gram shingle hashes, doc-ordered.
+
+    Per doc: ``c >= k`` tokens → ``c-k+1`` shingles (positional-multiplier
+    combine + splitmix64 finalize); ``0 < c < k`` → ONE shingle over all c
+    tokens (the "join everything" gram of the original rule); ``c == 0`` →
+    none.  Returns ``(sh uint64, sh_offs int64 len D+1)``.
+    """
+    D = len(offs) - 1
+    counts = np.diff(offs)
+    sh_counts = np.where(counts >= k, counts - (k - 1),
+                         np.where(counts > 0, 1, 0)).astype(np.int64)
+    sh_offs = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=sh_offs[1:])
+    sh = np.zeros(int(sh_offs[-1]), dtype=np.uint64)
+    if sh.size == 0:
+        return sh, sh_offs
+    mults = _gram_mults(k)
+    T = len(th)
+    doc_idx = np.repeat(np.arange(D, dtype=np.int64), counts)
+    slot_doc = np.repeat(np.arange(D, dtype=np.int64), sh_counts)
+    full_slot = counts[slot_doc] >= k
+    if T >= k:
+        # start positions whose k-th token is still in the same doc; the
+        # surviving shingles are emitted in ascending doc order, exactly
+        # matching the full-doc slots of ``sh``
+        ok = doc_idx[:T - k + 1] == doc_idx[k - 1:]
+        acc = np.zeros(T - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc += th[j:T - k + 1 + j] * mults[j]
+        sh[full_slot] = _splitmix64(acc[ok])
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if len(short):
+        short_sh = np.zeros(len(short), dtype=np.uint64)
+        for c in range(1, k):
+            sel = counts[short] == c
+            if not sel.any():
+                continue
+            starts = offs[short[sel]]
+            acc = np.zeros(int(sel.sum()), dtype=np.uint64)
+            for j in range(c):
+                acc += th[starts + j] * mults[j]
+            short_sh[sel] = _splitmix64(acc)
+        sh[~full_slot] = short_sh
+    return sh, sh_offs
+
+
 def shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (uint64)."""
-    toks = _norm_tokens(text)
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.fromiter(
-        (zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
+    """Word k-gram shingle hashes (uint64) — single-doc view of the batch
+    kernel (:func:`_shingle_hash_flat`), same rule constants."""
+    th, offs = _token_hash_flat([text])
+    sh, _ = _shingle_hash_flat(th, offs, k)
+    return sh
+
+
+def minhash_signatures(texts, seeds: np.ndarray, k: int = 3) -> np.ndarray:
+    """(D, num_perm) uint64 signatures for a whole batch, vectorized:
+    one tokenizer/hasher pass, one shingle pass, then per-permutation
+    ``splitmix64(unique_shingles ^ seed)`` scattered back through the
+    inverse index + per-doc 1D ``np.minimum.reduceat``.  Hashing unique
+    shingles only (corpora share vocabulary — the `simhash64_many`
+    treatment) plus the 1D layout measured ~10x faster than a
+    (shingles, perms) 2D matrix on sf0.1 documents.  Docs with no
+    shingles get the all-zeros signature."""
+    th, offs = _token_hash_flat(texts)
+    sh, sh_offs = _shingle_hash_flat(th, offs, k)
+    D, P = len(sh_offs) - 1, len(seeds)
+    sig = np.zeros((D, P), dtype=np.uint64)
+    ne = np.flatnonzero(np.diff(sh_offs) > 0)
+    if not len(ne):
+        return sig
+    # empty docs span zero rows, so nonempty starts are exact segment
+    # boundaries for reduceat
+    starts = sh_offs[ne]
+    u, inv = np.unique(sh, return_inverse=True)
+    vbuf = np.empty(len(sh), dtype=np.uint64)
+    for p in range(P):
+        np.take(_splitmix64(u ^ seeds[p]), inv, out=vbuf)
+        sig[ne, p] = np.minimum.reduceat(vbuf, starts)
+    return sig
 
 
 def minhash_signature(text: str, seeds: np.ndarray, k: int = 3) -> np.ndarray:
-    sh = shingles(text, k)
-    if len(sh) == 0:
-        return np.zeros(len(seeds), dtype=np.uint64)
-    # mix(x ^ seed_i), min over shingles — one vectorized (n_shingles, perm)
-    vals = _splitmix64(sh[:, None] ^ seeds[None, :])
-    return vals.min(axis=0)
+    return minhash_signatures([text], seeds, k)[0]
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(D, num_perm) signatures → (D, bands) int64 LSH bucket keys: a
+    splitmix64 xor-chain over each band's signature rows, band index mixed
+    into the chain seed (equal band chunks ⇔ equal keys up to 64-bit
+    collision odds — replaces one sha1 per (doc, band))."""
+    D, P = sig.shape
+    rpb = P // bands
+    out = np.empty((D, bands), dtype=np.uint64)
+    for band in range(bands):
+        acc = _splitmix64(np.full(
+            D, np.uint64(0xA0761D6478BD642F) ^ np.uint64(band),
+            dtype=np.uint64))
+        for r in range(rpb):
+            acc = _splitmix64(acc ^ sig[:, band * rpb + r])
+        out[:, band] = acc
+    return out.view(np.int64)
 
 
 class MinHashLSH:
-    """Actor-pool signature stage: permutation params built once per actor.
+    """Signature stage: permutation params built once per actor/process.
 
     Emits one row per (doc, band): ``(band, band_hash, doc_id)`` — the LSH
-    bucket key the groupby shuffles on.
+    bucket key the groupby shuffles on (``band_hash`` is an int64 mixed
+    key, see :func:`band_keys`).  Fully vectorized per batch:
+    :func:`minhash_signatures` + :func:`band_keys`.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 8, k: int = 3,
@@ -119,27 +259,23 @@ class MinHashLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
+        D = len(batch)
+        ids = (batch[self.id_col].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64))
         # utf8 byte length per doc rides the signature table so downstream
         # byte-aware gates never re-scan the text column (see near_dup_jaccard)
-        nbytes = pc.binary_length(
-            batch[self.text_col].cast(pa.binary())).to_pylist()
-        out_band, out_hash, out_id, out_nb = [], [], [], []
-        for i, text in enumerate(texts):
-            sig = minhash_signature(text, self.seeds, self.k)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                h = hashlib.sha1(chunk.tobytes() + bytes([band])).hexdigest()[:16]
-                out_band.append(band)
-                out_hash.append(h)
-                out_id.append(ids[i])
-                out_nb.append(nbytes[i] or 0)
+        nb = (pc.fill_null(pc.binary_length(
+                  batch[self.text_col].cast(pa.binary())), 0)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        sig = minhash_signatures(batch[self.text_col], self.seeds, self.k)
+        keys = band_keys(sig, self.bands)  # (D, bands) int64, doc-major
+        B = self.bands
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "n_text_bytes": pa.array(out_nb, pa.int64()),
+            "band": pa.array(np.tile(np.arange(B, dtype=np.int32), D),
+                             pa.int32()),
+            "band_hash": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, B), pa.int64()),
+            "n_text_bytes": pa.array(np.repeat(nb, B), pa.int64()),
         })
 
 
@@ -239,9 +375,8 @@ def _bucketize_band_hash(b: pa.Table, n_buckets: int) -> pa.Table:
     """Route (band, band_hash) groups through a cluster-sized bucket column:
     one shuffle partition per bucket instead of one tiny sort-group per LSH
     bucket (thousands of groups of ~1-3 rows otherwise dominate wall time)."""
-    h = np.fromiter((zlib.crc32(s.encode()) % n_buckets
-                     for s in b["band_hash"].to_pylist()),
-                    dtype=np.int32, count=len(b))
+    h = (b["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+         .view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
     return b.append_column("bucket", pa.array(h, pa.int32()))
 
 
@@ -527,6 +662,29 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def jaccard_many(texts_a: list, texts_b: list, k: int = 3) -> np.ndarray:
+    """Pairwise Jaccard for a batch of text pairs: shingle sets computed
+    ONCE per unique text across both sides (one vectorized batch-kernel
+    pass), then per-pair sorted-array intersections.  Same per-pair value
+    as :func:`jaccard` (both reduce to shingle-hash set Jaccard)."""
+    n = len(texts_a)
+    all_t = pd.Series(list(texts_a) + list(texts_b), dtype=object).fillna("")
+    codes, uniq = pd.factorize(all_t)
+    th, offs = _token_hash_flat(uniq.tolist())
+    sh, sh_offs = _shingle_hash_flat(th, offs, k)
+    sets = [np.unique(sh[sh_offs[i]:sh_offs[i + 1]])
+            for i in range(len(uniq))]
+    out = np.empty(n, np.float64)
+    for i in range(n):
+        sa, sb = sets[codes[i]], sets[codes[n + i]]
+        if not len(sa) and not len(sb):
+            out[i] = 1.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        out[i] = inter / max(1, len(sa) + len(sb) - inter)
+    return out
+
+
 # Above this many candidate docs — OR this many total candidate text
 # bytes — verification stops broadcasting a text dict (driver memory!)
 # and joins texts onto the pair list with the native hash join instead —
@@ -553,9 +711,9 @@ def _verify_pairs_broadcast(pairs_ds, docs_ds, cand_ids, threshold, k,
         lut = cached_get(texts_ref)
         aa = b["a"].to_pylist()
         bb = b["b"].to_pylist()
-        sims = [jaccard(lut.get(x, ""), lut.get(y, ""), k)
-                for x, y in zip(aa, bb)]
-        keep = pa.array([s >= threshold for s in sims], pa.bool_())
+        sims = jaccard_many([lut.get(x, "") for x in aa],
+                            [lut.get(y, "") for y in bb], k)
+        keep = pa.array(sims >= threshold)
         return b.append_column("jaccard",
                                pa.array(sims, pa.float64())).filter(keep)
 
@@ -627,13 +785,12 @@ def _verify_pairs_join(pairs_ds, docs_ds, threshold, k, id_col, text_col):
     def verify(b: pa.Table) -> pa.Table:
         if b.num_columns == 0:
             b = sch_ab.empty_table()
-        aa, bb = b["a"].to_pylist(), b["b"].to_pylist()
-        sims = [jaccard(x or "", y or "", k)
-                for x, y in zip(b[ta].to_pylist(), b[tb].to_pylist())]
+        aa = b["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        bb = b["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        sims = jaccard_many(b[ta].to_pylist(), b[tb].to_pylist(), k)
         # a != b also drops the partition-coverage sentinels (real pairs
         # are strict upper-triangle, never self-pairs)
-        keep = pa.array([s >= threshold and x != y
-                         for s, x, y in zip(sims, aa, bb)], pa.bool_())
+        keep = pa.array((sims >= threshold) & (aa != bb))
         return (b.select(["a", "b"])
                 .append_column("jaccard", pa.array(sims, pa.float64()))
                 .filter(keep))

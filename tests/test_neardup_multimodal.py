@@ -13,10 +13,15 @@ def docs_with_dups(ray_session):
 
     base = ("the quick brown fox jumps over the lazy dog and then runs far "
             "away into the deep dark forest tonight")
+    # filler docs must be genuinely dissimilar (J ~ 0): template docs
+    # sharing a fixed 3-gram frame sit at J ~ 0.14 pairwise, where 4-row
+    # LSH bands (bands=16 below) expect ~3 false-positive candidate pairs
+    # among 435 under IDEAL minhash math — "singletons stay singletons"
+    # is only a testable property of actually-unrelated docs
     rows = []
     for i in range(30):
-        rows.append({"doc_id": i, "text": f"unique document number {i} about "
-                     f"topic-{i} with content {i * 7} and more filler words"})
+        words = " ".join(f"w{i}q{j}z" for j in range(10))
+        rows.append({"doc_id": i, "text": f"doc {i} {words}"})
     # near-dup group: 100..102 (small edits), exact dup pair 103/104
     rows.append({"doc_id": 100, "text": base})
     rows.append({"doc_id": 101, "text": base + " extra"})
