@@ -46,13 +46,12 @@ def _random_edges(n_nodes=120, n_edges=600, seed=2):
     return edges
 
 
-@pytest.mark.parametrize("broadcast_bytes", [256 * 2**20, 0],
-                         ids=["broadcast", "colocated"])
-def test_pagerank_vs_dense(ray_session, broadcast_bytes):
+@pytest.mark.parametrize("method", ["broadcast", "colocated", "pinned"])
+def test_pagerank_vs_dense(ray_session, method):
     edges = _random_edges()
     exp = _naive(edges)
     out = (pagerank(_edges_ds(edges), n_iter=10, n_buckets=8,
-                    broadcast_bytes=broadcast_bytes)
+                    method=method, pinned_shards=3)
            .to_pandas().set_index("node")["rank"])
     assert len(out) == len(exp)
     assert abs(out.sum() - 1.0) < 1e-9
@@ -65,10 +64,20 @@ def test_pagerank_paths_agree(ray_session):
     a = (pagerank(_edges_ds(edges, 3), n_iter=6, n_buckets=4)
          .to_pandas().sort_values("node").reset_index(drop=True))
     b = (pagerank(_edges_ds(edges, 5), n_iter=6, n_buckets=16,
-                  broadcast_bytes=0)
+                  method="colocated")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    c = (pagerank(_edges_ds(edges, 5), n_iter=6, method="pinned",
+                  pinned_shards=4)
          .to_pandas().sort_values("node").reset_index(drop=True))
     assert (a["node"] == b["node"]).all()
     assert np.allclose(a["rank"], b["rank"], rtol=1e-9)
+    assert (a["node"] == c["node"]).all()
+    assert np.allclose(a["rank"], c["rank"], rtol=1e-9)
+    # auto dispatch: a zero broadcast budget routes to the pinned path
+    d = (pagerank(_edges_ds(edges, 5), n_iter=6, broadcast_bytes=0,
+                  pinned_shards=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert np.allclose(a["rank"], d["rank"], rtol=1e-9)
 
 
 def test_pagerank_empty(ray_session):
