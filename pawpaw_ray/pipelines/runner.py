@@ -33,7 +33,12 @@ from pawpaw_ray.pipelines.kg import build_kg, extract_linked_triples
 from pawpaw_ray.sources.transcripts import read_transcripts, transcript_files
 from pawpaw_ray.stages.canonicalize import build_entity_table, dedup_triples
 from pawpaw_ray.stages.coref import resolve_coref
-from pawpaw_ray.state.manifests import is_complete, read_manifests, write_manifest
+from pawpaw_ray.state.manifests import (
+    is_complete,
+    manifest_path,
+    read_manifests,
+    write_manifest,
+)
 
 
 def _shards(files: list[str], n_shards: int) -> list[list[str]]:
@@ -123,11 +128,22 @@ def run_resumable(
             if os.path.exists(stale_manifest):
                 os.remove(stale_manifest)
 
-    # phase B: conv-ordered coref + canonical tables over compact rows
+    final = _run_phase_b(out_root, sorted(valid_parts), window_turns,
+                         chunk_turns, t0, ran, skipped)
+    write_manifest(out_root, "final", final)
+    return final
+
+
+def _run_phase_b(out_root: str, parts: list[str], window_turns: int,
+                 chunk_turns: int, t0: float, ran: int, skipped: int) -> dict:
+    """Global phase: conv-ordered coref + canonical tables over the compact
+    phase-A triple rows of exactly ``parts``."""
     import ray.data as rd
+
+    raw_root = os.path.join(out_root, "triples_raw")
     part_files = [
         os.path.join(raw_root, p, f)
-        for p in sorted(valid_parts)
+        for p in parts
         for f in sorted(os.listdir(os.path.join(raw_root, p)))
         if f.endswith(".parquet")]
     linked = rd.read_parquet(part_files)
@@ -144,12 +160,103 @@ def run_resumable(
                     for f in os.listdir(triples_dir) if f.endswith(".parquet"))
     n_entities = sum(pq.read_metadata(os.path.join(entities_dir, f)).num_rows
                      for f in os.listdir(entities_dir) if f.endswith(".parquet"))
-    raw_rows = sum(m.get("rows", 0) for m in read_manifests(out_root).values()
-                   if m.get("phase") == "A")
-    final = {
+    manifests = read_manifests(out_root)
+    raw_rows = sum(m.get("rows", 0) for p, m in manifests.items()
+                   if p in parts and m.get("phase") == "A")
+    return {
         "phase": "B", "triples": n_triples, "entities": n_entities,
         "raw_triples": raw_rows, "shards_run": ran, "shards_skipped": skipped,
         "elapsed_s": round(time.monotonic() - t0, 2),
     }
+
+
+def _ipart_name(rel: str) -> str:
+    return "ipart-" + hashlib.sha1(rel.encode()).hexdigest()[:12]
+
+
+def run_incremental(
+    input_path: str,
+    out_root: str,
+    catalog=None,
+    window_turns: int = 8,
+    chunk_turns: int = 512,
+    verbose: bool = False,
+) -> dict:
+    """Incremental / ongoing-ingest mode: manifest-diff over input FILES.
+
+    One phase-A partition per input file, keyed by the file's identity
+    (relative path hash) rather than its position in the listing — so
+    dropping new shard files into ``input_path`` reprocesses ONLY those
+    files, while :func:`run_resumable`'s positional shard plan would
+    invalidate every shard.  A file is redone when its manifest is
+    missing/corrupt or its byte size changed.  Partitions whose input file
+    disappeared are pruned.
+
+    Phase B (the global coref shuffle + canonical tables) is cheap
+    relative to phase A (it reads compact triple rows, ~1% of the text
+    volume) and must see ALL conversations, so it reruns whenever the
+    partition set or any partition's content changed — and is skipped
+    entirely on a no-change rerun (the final manifest records the exact
+    per-partition content hashes it was built from).
+    """
+    t0 = time.monotonic()
+    files = transcript_files(input_path)
+    if catalog is None:
+        cat_path = os.path.join(input_path, "alias_catalog.parquet")
+        catalog = pq.read_table(cat_path)
+
+    os.makedirs(out_root, exist_ok=True)
+    manifests = read_manifests(out_root)
+    valid_parts: set[str] = set()
+    skipped = ran = 0
+    for f in files:
+        part = _ipart_name(os.path.relpath(f, input_path))
+        valid_parts.add(part)
+        size = os.path.getsize(f)
+        m = manifests.get(part, {})
+        if is_complete(out_root, part) and m.get("inputs") == [f] \
+                and m.get("input_bytes") == size:
+            skipped += 1
+            continue
+        part_dir = os.path.join(out_root, "triples_raw", part)
+        payload = run_phase_a([f], catalog, part_dir)
+        payload.update({
+            "phase": "A", "part": part, "input_bytes": size,
+            "elapsed_s": round(time.monotonic() - t0, 2),
+        })
+        write_manifest(out_root, part, payload)
+        ran += 1
+        if verbose:
+            print(f"[runner] {part}: {payload['rows']} rows (new/changed)")
+
+    # prune partitions whose input file disappeared (only ipart-* — the
+    # positional runner's part-* namespace is not ours to touch)
+    raw_root = os.path.join(out_root, "triples_raw")
+    removed = 0
+    for leftover in sorted(os.listdir(raw_root)) if os.path.isdir(raw_root) else []:
+        if leftover.startswith("ipart-") and leftover not in valid_parts:
+            shutil.rmtree(os.path.join(raw_root, leftover))
+            stale = manifest_path(out_root, leftover)
+            if os.path.exists(stale):
+                os.remove(stale)
+            removed += 1
+
+    parts = sorted(valid_parts)
+    part_state = {p: read_manifests(out_root)[p].get("files_hash")
+                  for p in parts}
+    prior = read_manifests(out_root).get("final", {})
+    if ran == 0 and removed == 0 and prior.get("mode") == "incremental" \
+            and prior.get("part_state") == part_state \
+            and os.path.isdir(os.path.join(out_root, "triples")):
+        final = dict(prior)
+        final.update({"shards_run": 0, "shards_skipped": skipped,
+                      "phase_b": "skipped",
+                      "elapsed_s": round(time.monotonic() - t0, 2)})
+        return final
+
+    final = _run_phase_b(out_root, parts, window_turns, chunk_turns,
+                         t0, ran, skipped)
+    final.update({"mode": "incremental", "part_state": part_state,
+                  "shards_removed": removed, "phase_b": "ran"})
     write_manifest(out_root, "final", final)
     return final
