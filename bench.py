@@ -135,6 +135,11 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         "turns_per_sec": round(n_turns / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
     }
+    # bounded-recall / clamp observability (capped LSH buckets, keep-best
+    # score clamps): aggregate across all workers, so capped recall is
+    # visible from the bench output — empty dict means none fired
+    from pawpaw_ray.state.counters import snapshot_events
+    result["events"] = snapshot_events()
     ray.shutdown()
     return result
 

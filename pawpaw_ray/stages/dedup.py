@@ -290,6 +290,8 @@ CAPPED_BUCKET_EVENTS: dict[str, int] = {}
 
 
 def note_capped_bucket(kind: str, n: int, max_all_pairs: int) -> None:
+    from pawpaw_ray.state.counters import note_event
+    note_event(f"capped_bucket:{kind}")
     seen = CAPPED_BUCKET_EVENTS.get(kind, 0)
     CAPPED_BUCKET_EVENTS[kind] = seen + 1
     if seen == 0:
@@ -540,8 +542,21 @@ def dedup_keep_best(docs_ds, num_perm: int = 64, bands: int = 8, k: int = 3,
             raise ValueError(
                 f"{id_col} >= 2^{id_bits} breaks the packed argmax; "
                 f"lower score_bits")
-        sc = np.clip(df[score_col].fillna(0).to_numpy(np.int64),
-                     0, score_cap)
+        sc_raw = df[score_col].fillna(0).to_numpy(np.int64)
+        n_clamped = int((sc_raw > score_cap).sum())
+        if n_clamped:
+            # clamped scores tie down to min id, diverging from the
+            # documented max-score semantics — count it where the driver
+            # can see it (round-4 advice; raising would be worse than the
+            # documented tie-break at corpus scale)
+            from pawpaw_ray.state.counters import note_event
+            note_event("keep_best_score_clamp", n_clamped)
+            import logging
+            logging.getLogger(__name__).warning(
+                "dedup_keep_best: %d score(s) above 2^%d-1 clamped "
+                "(ties fall to min id); raise score_bits if scores "
+                "legitimately exceed the cap", n_clamped, score_bits)
+        sc = np.clip(sc_raw, 0, score_cap)
         packed = sc * id_cap + (id_cap - 1 - ids)
         g = (pd.DataFrame({"cluster_id": df["cluster_id"].to_numpy(np.int64),
                            "packed": packed})

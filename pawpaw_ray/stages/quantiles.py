@@ -129,10 +129,44 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
                 # degenerate bin: every candidate equals lo — found exactly
                 t["value"] = t["lo"]
 
+    # A 1-ulp-wide interval can hold millions of DUPLICATE values and will
+    # never narrow further, yet it is exactly resolvable without any pull:
+    # half-open [lo, nextafter(lo)) contains only lo; the right-closed top
+    # interval contains only {lo, hi}, decided by one distributed count of
+    # x == hi against the remaining rank.
+    def count_eq(v: float) -> int:
+        def fn(b: pa.Table) -> pa.Table:
+            x = b[col].to_numpy()
+            return pa.table({"c": pa.array([int((x == v).sum())], pa.int64())})
+        return int(ds.map_batches(fn, batch_format="pyarrow")
+                   .to_pandas()["c"].sum())
+
+    for t in targets:
+        if t["value"] is None and \
+                np.nextafter(t["lo"], np.inf) >= t["hi"]:
+            if not t["top"]:
+                t["value"] = t["lo"]
+            else:
+                n_hi = count_eq(t["hi"])
+                t["value"] = (t["lo"] if t["rem"] <= t["count"] - n_hi
+                              else t["hi"])
+
     # final pull: candidate values per unresolved target (bounded by
     # gate_rows each — the refinement loop guarantees it unless
-    # max_rounds was exhausted on a pathological distribution)
+    # max_rounds was exhausted on a pathological distribution).  Check the
+    # tracked interval counts BEFORE materializing anything: an
+    # unconverged adversarial distribution must fail with the max_rounds
+    # error, not a driver OOM from pulling a corpus-scale interval
+    # (round-4 advice).
     pend = [t for t in targets if t["value"] is None]
+    hard_cap = 8 * gate_rows
+    for t in pend:
+        if t["count"] > hard_cap:
+            raise RuntimeError(
+                f"quantile refinement did not converge for q={t['q']} "
+                f"({t['count']} rows still in [{t['lo']}, {t['hi']}] after "
+                f"{max_rounds} rounds, cap {hard_cap}); raise max_rounds "
+                f"or n_bins")
     ivs = [(t["lo"], t["hi"], t["top"]) for t in pend]
 
     def pull(b: pa.Table) -> pa.Table:

@@ -116,10 +116,12 @@ def _flat_tokens(batch: pa.Table, text_col: str):
     parts = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
                                    "[^a-z0-9_]+")
     la = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
-    # sliced-ListArray discipline: offsets are absolute into .values, so
-    # always pair them (never .flatten() alongside raw offsets)
-    offs = np.asarray(la.offsets)
-    words = np.asarray(la.values.to_pandas(), dtype=object)
+    # sliced-ListArray discipline: .offsets are slice-relative while
+    # .values is the FULL child — pair flatten() (slice-aware) with
+    # offsets rebased to 0 so an offset>0 input can't misalign doc_idx
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    words = np.asarray(la.flatten().to_pandas(), dtype=object)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
     keep = words != ""
     return doc_idx[keep], words[keep]

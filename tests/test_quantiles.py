@@ -67,3 +67,20 @@ def test_exact_quantiles_empty(ray_session):
     out = exact_quantiles(_make_ds(np.array([], dtype=np.float64), parts=1),
                           "value").to_pandas()
     assert len(out) == 0
+
+
+def test_quantiles_unconverged_raises_preemptively(ray_session):
+    """An interval that never narrows below the gate must fail with the
+    max_rounds error BEFORE the final pull materializes it on the driver
+    (round-4 advice: graceful error, not driver OOM)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pawpaw_ray.stages.quantiles import exact_quantiles
+
+    vals = np.random.RandomState(3).uniform(0, 1, 200)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        exact_quantiles(ds, "value", qs=(0.5,), gate_rows=2, max_rounds=0)
