@@ -94,16 +94,13 @@ def _gram_mults(k: int) -> np.ndarray:
     return m
 
 
-def _token_hash_flat(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized tokenizer+hasher for a whole batch of texts.
+def _flat_tokens_arrow(texts) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized batch tokenizer: ``(flat lowered token object array,
+    int64 doc index per token, D)`` in document order.
 
-    Returns ``(flat uint64 token hashes, int64 per-doc offsets, len D+1)``.
     Token SET semantics identical to :func:`_norm_tokens` — maximal
     ``[A-Za-z0-9_]+`` runs, split FIRST then lowered (so no unicode char
-    can case-fold INTO the ASCII token class, e.g. U+212A → 'k').  Token
-    hash = siphash via ``pd.util.hash_array`` (fixed key: deterministic
-    across processes; ``categorize=True`` hashes each unique token once).
-    """
+    can case-fold INTO the ASCII token class, e.g. U+212A → 'k')."""
     import pyarrow.compute as pc
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array([t if t is not None else "" for t in texts],
@@ -121,15 +118,23 @@ def _token_hash_flat(texts) -> tuple[np.ndarray, np.ndarray]:
     toks = pc.utf8_lower(la.flatten())
     lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
     keep = lens > 0  # split() emits "" at text edges / for empty docs
-    counts_all = np.diff(offs)
-    doc_idx = np.repeat(np.arange(D, dtype=np.int64), counts_all)
-    new_counts = np.bincount(doc_idx[keep], minlength=D)
+    doc_idx = np.repeat(np.arange(D, dtype=np.int64), np.diff(offs))[keep]
+    return toks.to_numpy(zero_copy_only=False)[keep], doc_idx, D
+
+
+def _token_hash_flat(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenizer+hasher for a whole batch of texts.
+
+    Returns ``(flat uint64 token hashes, int64 per-doc offsets, len D+1)``.
+    Token hash = siphash via ``pd.util.hash_array`` (fixed key:
+    deterministic across processes; ``categorize=True`` hashes each
+    unique token once)."""
+    flat, doc_idx, D = _flat_tokens_arrow(texts)
     new_offs = np.zeros(D + 1, dtype=np.int64)
-    np.cumsum(new_counts, out=new_offs[1:])
-    kept = toks.to_numpy(zero_copy_only=False)[keep]
-    if len(kept) == 0:
+    np.cumsum(np.bincount(doc_idx, minlength=D), out=new_offs[1:])
+    if len(flat) == 0:
         return np.empty(0, np.uint64), new_offs
-    th = pd.util.hash_array(kept).astype(np.uint64)
+    th = pd.util.hash_array(flat).astype(np.uint64)
     return th, new_offs
 
 
@@ -627,37 +632,29 @@ def simhash64(text: str) -> int:
 
 
 def simhash64_many(texts: list[str]) -> np.ndarray:
-    """Batch simhash: ONE blake2b per unique token across the whole batch
-    (corpora share vocabulary, so this is far fewer digests than per-doc),
+    """Batch simhash: Arrow-vectorized tokenization (r5 — the per-doc
+    regex loop was 6.7x the kernel's total cost on sf0.1), ONE blake2b
+    per unique token across the whole batch (corpora share vocabulary),
     one ``np.add.at`` scatter for all (doc, token) occurrences.  Output is
     bit-identical to :func:`simhash64` per doc (pinned by test)."""
-    vocab: dict[str, int] = {}
-    doc_idx: list[int] = []
-    tok_idx: list[int] = []
-    for d, text in enumerate(texts):
-        for t in _norm_tokens(text):
-            i = vocab.get(t)
-            if i is None:
-                i = vocab[t] = len(vocab)
-            doc_idx.append(d)
-            tok_idx.append(i)
-    out = np.zeros(len(texts), dtype=np.uint64)
-    if not vocab:
+    flat, doc_idx, D = _flat_tokens_arrow(texts)
+    out = np.zeros(D, dtype=np.uint64)
+    if not len(flat):
         return out
+    codes, uniq = pd.factorize(flat)
     hs = np.fromiter(
         (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "big") for t in vocab),
-        dtype=np.uint64, count=len(vocab))
+                        "big") for t in uniq),
+        dtype=np.uint64, count=len(uniq))
     signed = (2 * np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1,
                                 bitorder="little").astype(np.int64) - 1)
-    acc = np.zeros((len(texts), 64), dtype=np.int64)
-    np.add.at(acc, np.asarray(doc_idx, dtype=np.int64),
-              signed[np.asarray(tok_idx, dtype=np.int64)])
+    acc = np.zeros((D, 64), dtype=np.int64)
+    np.add.at(acc, doc_idx, signed[codes])
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    nonempty = np.zeros(len(texts), dtype=bool)
-    nonempty[np.asarray(doc_idx, dtype=np.int64)] = True
-    codes = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
-    out[nonempty] = codes[nonempty]
+    nonempty = np.zeros(D, dtype=bool)
+    nonempty[doc_idx] = True
+    vals = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+    out[nonempty] = vals[nonempty]
     return out
 
 
