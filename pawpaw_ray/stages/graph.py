@@ -106,8 +106,15 @@ def pagerank(edges_ds, src_col: str = "src", dst_col: str = "dst",
         return _pagerank_colocated(edges_ds, degrees_ds, n_nodes,
                                    src_col, dst_col,
                                    damping, n_iter, n_buckets)
+    # auto: the pinned path wins whenever its one-time setup (actor pool +
+    # key handshake) amortizes over iterations — measured 2.2x at 33k
+    # nodes / 411k edges and 7.3x at 200k/2M for 5-6 iterations; the
+    # broadcast path's per-iteration sort-shuffle reduce is the cost it
+    # avoids.  Broadcast stays for 1-2-iteration runs and as an explicit
+    # method; above broadcast_bytes pinned is the only scale-safe choice.
     if method == "pinned" or (method == "auto"
-                              and state_bytes > broadcast_bytes):
+                              and (state_bytes > broadcast_bytes
+                                   or n_iter >= 3)):
         return _pagerank_pinned(edges_ds, degrees_ds, n_nodes,
                                 src_col, dst_col,
                                 damping, n_iter, pinned_shards)
