@@ -84,3 +84,16 @@ def test_pagerank_empty(ray_session):
     out = pagerank(_edges_ds([("a", "b")], 1).filter(
         lambda r: False)).to_pandas()
     assert len(out) == 0
+
+
+def test_pagerank_pinned_empty_shards(ray_session):
+    """More shards than occupied buckets: empty actors must be inert
+    (zero-length handshakes, empty contrib arrays, empty result tables)."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")]
+    exp = _naive(edges, n_iter=5)
+    out = (pagerank(_edges_ds(edges, 2), n_iter=5, method="pinned",
+                    pinned_shards=8)
+           .to_pandas().set_index("node")["rank"])
+    assert len(out) == len(exp)
+    for node, r in exp.items():
+        assert out[node] == pytest.approx(r, rel=1e-9, abs=1e-12), node
