@@ -609,6 +609,15 @@ def _q_decontaminate(sf_dir: str):
                          docs.map_batches(part(True), batch_format="pyarrow"))
 
 
+def _q_dup_spans(sf_dir: str):
+    """Maximal duplicated 30-char-window spans per document (Lee et al.
+    substring-dedup building block; stages/dupspans.py): rolling-hash
+    candidates → in-cluster gram verification → vectorized interval merge.
+    Four bucketed shuffles, no broadcast, no driver state."""
+    from pawpaw_ray.stages.dupspans import dup_spans
+    return dup_spans(_docs(sf_dir, ["doc_id", "text"]), k=30)
+
+
 def _q_token_pack(sf_dir: str):
     """Token-budget sequence chunking (seq_id = tokens-before-doc // 512)
     via the distributed ordered prefix-scan in stages/curation.py — exact
@@ -688,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "dup_spans": _q_dup_spans,
         "token_pack": _q_token_pack,
         "shuffle_order": _q_shuffle_order,
         # hierarchical ontology discovery (golden: reference engine)
@@ -795,6 +805,33 @@ reach AS (
   SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst
 )
 SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+# maximal duplicated 30-char-window spans (Lee et al. substring dedup):
+# every char position whose exact 30-char window occurs >= 2 times
+# corpus-wide, merged per doc into maximal overlap-or-touch intervals
+# (gaps-and-islands).  SQL i is 1-based; output offsets are 0-based with
+# span_end exclusive, matching Python slicing on the engine side.
+_DUP_SPANS_SQL = """
+WITH pos AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), 30) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 29, 0))) AS i
+        FROM documents)),
+dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT doc_id, i FROM pos WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 30
+              THEN 0 ELSE 1 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl)
+SELECT doc_id, min(i) - 1 AS span_start, max(i) + 29 AS span_end
+FROM grp GROUP BY doc_id, g
 """
 
 # 8-gram-overlap decontamination vs the deterministic eval subset
@@ -1060,6 +1097,9 @@ def oracle_sql() -> dict[str, str]:
         # the shingle strings themselves — equal unless a hash collision
         # (p ~ m^2/2^65; see stages/curation.py)
         "decontaminate": _DECONTAMINATE_SQL,
+        # engine verifies candidate grams exactly (stage 4), so this holds
+        # with equality, not merely up to rolling-hash collisions
+        "dup_spans": _DUP_SPANS_SQL,
         "token_pack":
             "WITH t AS (SELECT doc_id, "
             "  len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens "
