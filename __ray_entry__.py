@@ -241,6 +241,104 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_events(sf_dir, ["user_id", "ts", "event_id"]))
 
 
+def _events_of_type(sf_dir: str, event_type: str, columns):
+    """One event-type stream, filtered batch-side (never on the driver)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.equal(b["event_type"], event_type))
+                .drop_columns(["event_type"]))
+
+    return (_events(sf_dir, columns + ["event_type"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def _q_events_asof(sf_dir: str):
+    """As-of join: each purchase picks the user's latest click at-or-before
+    it (stages/joins.py — ordered-merge temporal join, one bucketed
+    shuffle; neither Ray Data nor the reference has this operator)."""
+    from pawpaw_ray.stages.joins import asof_join
+    left = _events_of_type(sf_dir, "purchase", ["user_id", "ts", "event_id"])
+    right = _events_of_type(sf_dir, "click",
+                            ["user_id", "ts", "event_id", "value"])
+    return asof_join(left, right, key="user_id", ts="ts",
+                     left_id="event_id", right_id="event_id",
+                     right_value="value")
+
+
+_INTERVAL_W_US = 86_400 * 1_000_000  # +-1 day around each error event
+
+
+def _q_events_interval(sf_dir: str):
+    """Interval (range) join with aggregation: per error event, the count /
+    first / last of the user's clicks within +-1 day (stages/joins.py —
+    two probe rows per interval, never the (interval, point) pair table)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pawpaw_ray.stages.joins import interval_join
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "interval_id": b["event_id"],
+            "user_id": b["user_id"],
+            "lo": pa.array(ts - _INTERVAL_W_US, pa.int64()),
+            "hi": pa.array(ts + _INTERVAL_W_US, pa.int64()),
+        })
+
+    iv = (_events_of_type(sf_dir, "error", ["user_id", "ts", "event_id"])
+          .map_batches(mk_intervals, batch_format="pyarrow"))
+    pts = _events_of_type(sf_dir, "click", ["user_id", "ts", "event_id"])
+    return interval_join(iv, pts, key="user_id")
+
+
+def _q_events_lag(sf_dir: str):
+    """Per-user ordered lag features (SQL LAG ... OVER (PARTITION BY user
+    ORDER BY ts)) — stages/events.py lag_features."""
+    from pawpaw_ray.stages.events import lag_features
+    return lag_features(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
+_SEMI_QTY_CUT = 49  # lineitem quantity cut for the semi/anti fixtures
+
+
+def _q_parts_semi(sf_dir: str, anti: bool = False):
+    """Semi/anti join (stages/relational.py::semi_join): parts that do /
+    don't ship in any high-quantity lineitem.  The right side leaves the
+    workers as distinct keys only; under the byte gate the left is never
+    shuffled (broadcast isin), above it Ray's native left_semi/left_anti."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pawpaw_ray.stages.relational import _read, semi_join
+
+    def hiqty_keys(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater(b["l_quantity"], _SEMI_QTY_CUT))
+        return pa.table({"p_partkey": keep["l_partkey"]})
+
+    right = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+             .map_batches(hiqty_keys, batch_format="pyarrow"))
+    left = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return semi_join(left, right, on="p_partkey", anti=anti)
+
+
+def _q_parts_anti(sf_dir: str):
+    return _q_parts_semi(sf_dir, anti=True)
+
+
+def _q_nation_top_customers(sf_dir: str):
+    """Per-key top-k (stages/relational.py::group_topk): each nation's top
+    3 customers by account balance (ties to lowest custkey), with rank."""
+    from pawpaw_ray.stages.relational import _read, group_topk
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_custkey", "c_name", "c_acctbal"])
+    return group_topk(cust, key="c_nationkey", order_col="c_acctbal",
+                      k=3, ascending=False, tie_col="c_custkey")
+
+
 def _q_number_count(sf_dir: str):
     """Numbers per document via the ported Number pattern (nlp.py:121-161)."""
     import pyarrow as pa
@@ -663,6 +761,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_user_stats": _q_events_user_stats,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
+        "events_interval": _q_events_interval,
+        "events_lag": _q_events_lag,
         "number_count": _q_number_count,
         "numbers_extract": _q_numbers_extract,
         "ann_topk": _q_ann_topk,
@@ -672,6 +773,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": _q_q1_pricing,
         "top_customers": _q_top_customers,
         "region_revenue": _q_region_revenue,
+        "parts_semi": _q_parts_semi,
+        "parts_anti": _q_parts_anti,
+        "nation_top_customers": _q_nation_top_customers,
         # table extraction from tool turns (rows-only)
         "table_extract": _q_table_extract,
         # training-data ops (rows-only)
@@ -1038,6 +1142,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_idx, count(*) AS n_events, "
             "  min(ts) AS start_ts, max(ts) AS end_ts "
             "FROM s GROUP BY user_id, session_idx",
+        "events_asof":
+            "WITH l AS (SELECT user_id, event_id, ts FROM events "
+            "  WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, event_id, ts, value FROM events "
+            "  WHERE event_type = 'click') "
+            "SELECT l.user_id, l.event_id, l.ts, "
+            "  last(r.event_id ORDER BY r.ts, r.event_id) AS r_id, "
+            "  last(r.ts ORDER BY r.ts, r.event_id) AS r_ts, "
+            "  last(r.value ORDER BY r.ts, r.event_id) AS r_value "
+            "FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts "
+            "GROUP BY l.user_id, l.event_id, l.ts",
+        "events_interval":
+            "WITH iv AS (SELECT event_id AS interval_id, user_id, "
+            "    ts - INTERVAL 86400 SECOND AS lo, "
+            "    ts + INTERVAL 86400 SECOND AS hi "
+            "  FROM events WHERE event_type = 'error'), "
+            "p AS (SELECT user_id, ts, event_id FROM events "
+            "  WHERE event_type = 'click') "
+            "SELECT iv.interval_id, iv.user_id, count(*) AS n_points, "
+            "  first(p.event_id ORDER BY p.ts, p.event_id) AS first_id, "
+            "  last(p.event_id ORDER BY p.ts, p.event_id) AS last_id "
+            "FROM iv JOIN p ON p.user_id = iv.user_id "
+            "  AND p.ts >= iv.lo AND p.ts <= iv.hi "
+            "GROUP BY iv.interval_id, iv.user_id",
+        "events_lag":
+            "SELECT event_id, user_id, "
+            "  coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) "
+            "    AS prev_gap_us, "
+            "  coalesce(lag(event_type) OVER w, '') AS prev_type "
+            "FROM events WINDOW w AS "
+            "  (PARTITION BY user_id ORDER BY ts, event_id)",
         "q1_pricing":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
@@ -1063,6 +1198,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "JOIN region r ON r.r_regionkey = n.n_regionkey "
             "GROUP BY r.r_name ORDER BY r.r_name",
+        "parts_semi":
+            "SELECT p_partkey, p_name FROM part p WHERE EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+            f"AND l.l_quantity > {_SEMI_QTY_CUT})",
+        "parts_anti":
+            "SELECT p_partkey, p_name FROM part p WHERE NOT EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+            f"AND l.l_quantity > {_SEMI_QTY_CUT})",
+        "nation_top_customers":
+            'SELECT c_nationkey, c_custkey, c_name, c_acctbal, "rank" '
+            "FROM (SELECT c_nationkey, c_custkey, c_name, c_acctbal, "
+            "  row_number() OVER (PARTITION BY c_nationkey "
+            '    ORDER BY c_acctbal DESC, c_custkey) AS "rank" '
+            'FROM customer) WHERE "rank" <= 3',
         "ann_topk":
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             f"           WHERE vec_id IN ({ann_ids})), "

@@ -85,11 +85,13 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     else:
         names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
-                 "events_sessions", "quantiles", "ann_topk", "ann_topk_lsh",
+                 "events_sessions", "events_asof", "events_interval",
+                 "events_lag", "quantiles", "ann_topk", "ann_topk_lsh",
                  "ann_topk_ivf", "simhash",
                  "minhash_dedup", "near_dup_jaccard", "simhash_clusters",
                  "embedding_near_dup", "segment_stats", "plumule_select",
                  "q1_pricing", "top_customers", "region_revenue",
+                 "parts_semi", "parts_anti", "nation_top_customers",
                  "table_extract", "media_features", "xml_extract",
                  "langid", "fingerprint", "repetition_stats",
                  "dedup_keep_best", "common_ngrams", "top_terms",

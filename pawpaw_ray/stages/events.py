@@ -109,6 +109,45 @@ def sessionize(events_ds, gap_s: int = 1800, n_buckets: int | None = None):
                         batch_format="pandas"))
 
 
+def lag_features_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-event previous-event features within one user-hash bucket:
+    microsecond gap since the user's previous event and that event's type,
+    in (ts, event_id) order.  First event per user: gap = -1 (a real gap is
+    always >= 0 once sorted), prev_type = '' — sentinel values rather than
+    nulls, so the int64/str dtypes survive both pandas and the SQL oracle
+    without nullable-column drift."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    gap = np.full(len(g), -1, np.int64)
+    prev_type = np.full(len(g), "", object)
+    if len(g) > 1:
+        same = uid[1:] == uid[:-1]
+        gap[1:][same] = (ts[1:] - ts[:-1])[same]
+        prev_type[1:][same] = g["event_type"].to_numpy(object)[:-1][same]
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(np.int64),
+        "user_id": uid.astype(np.int64),
+        "prev_gap_us": gap,
+        "prev_type": prev_type,
+    })
+
+
+def lag_features(events_ds, n_buckets: int | None = None):
+    """(event_id, user_id, prev_gap_us, prev_type) — the per-key ordered
+    lag/window primitive (SQL LAG ... OVER (PARTITION BY user ORDER BY ts));
+    one bucketed shuffle, per-bucket vectorized shift."""
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b.append_column("lbucket", pa.array(buck, pa.int32()))
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("lbucket")
+            .map_groups(lag_features_bucket, batch_format="pandas"))
+
+
 def user_ordered_stats(events_ds, n_buckets: int | None = None):
     n_buckets = n_buckets or shuffle_buckets(multiplier=1)
     def add_bucket(b: pa.Table) -> pa.Table:

@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
@@ -144,3 +145,107 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
            .sort_values("r_name").reset_index(drop=True))
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# generic semi / anti join + per-key top-k (engine-new distributed operators)
+# ---------------------------------------------------------------------------
+
+# Above this many bytes of distinct right-side keys, membership moves from
+# a broadcast isin filter to Ray's native shuffle semi/anti join.
+BROADCAST_KEY_BYTES = 64 * 2**20
+
+
+def semi_join(left_ds, right_ds, on: str, anti: bool = False,
+              broadcast_bytes: int = BROADCAST_KEY_BYTES,
+              num_partitions: int | None = None):
+    """Distributed semi join (``anti=False``: keep left rows whose ``on``
+    key appears on the right) / anti join (``anti=True``: keep the rest).
+
+    The right side is reduced map-side to per-block distinct keys FIRST —
+    only the key column ever leaves the right side, whatever its payload
+    width.  The materialized partial-key table's metadata ``size_bytes()``
+    picks the strategy (same gate discipline as
+    ``curation.eval_shingle_set``, no driver ``count()`` sniffs):
+
+    * under the gate (the common dimension-filter case): the driver merges
+      the partials into ONE sorted array, ``ray.put`` once, and the left
+      side streams through a vectorized ``np.isin`` membership filter —
+      the big side is never shuffled (at 100 TB the left is the corpus).
+    * over the gate: Ray's native hash ``left_semi`` / ``left_anti`` join
+      against the per-block-distinct key table — both sides shuffle, the
+      right as bare keys.
+
+    Exact membership on raw key values in both paths (no 64-bit key
+    hashing — a join operator must not have false positives).
+    """
+    import ray
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        col = b[on]
+        return pa.table({on: pc.unique(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)})
+
+    parts = (right_ds.map_batches(key_batch, batch_format="pyarrow")
+             .materialize())
+
+    if parts.size_bytes() > broadcast_bytes:
+        if num_partitions is None:
+            from pawpaw_ray.tuning import shuffle_buckets
+            num_partitions = shuffle_buckets(multiplier=1)
+        distinct = parts.groupby(on).map_groups(
+            lambda g: g.iloc[:1], batch_format="pandas")
+        return left_ds.join(distinct,
+                            join_type="left_anti" if anti else "left_semi",
+                            num_partitions=num_partitions, on=(on,))
+
+    arrs = [b[on].to_numpy(zero_copy_only=False)
+            for b in parts.iter_batches(batch_format="pyarrow")]
+    keys = (np.unique(np.concatenate(arrs)) if arrs
+            else np.empty(0, dtype=np.int64))
+    keys_ref = ray.put(keys)
+
+    def member_filter(b: pa.Table) -> pa.Table:
+        from pawpaw_ray.state.broadcast import cached_get
+        ks = cached_get(keys_ref)
+        hit = np.isin(b[on].to_numpy(zero_copy_only=False), ks)
+        return b.filter(pa.array(~hit if anti else hit))
+
+    return left_ds.map_batches(member_filter, batch_format="pyarrow")
+
+
+def group_topk(ds, key: str, order_col: str, k: int,
+               ascending: bool = False, tie_col: str | None = None,
+               n_buckets: int | None = None):
+    """Per-key top-k rows by ``order_col`` (ties broken by ``tie_col``
+    ascending — REQUIRED for determinism when order values can repeat),
+    with a 1-based ``rank`` column.  All other columns pass through.
+
+    Map-side partial top-k per batch (one vectorized sort + grouped head,
+    no per-key loop) means at most ``k x distinct-keys-per-batch`` rows
+    enter the shuffle; the bucketed final reduce repeats the same kernel.
+    SQL: ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k``.
+    """
+    from pawpaw_ray.tuning import hash_bucket, shuffle_buckets
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+    by = [key, order_col] + ([tie_col] if tie_col else [])
+    asc = [True, ascending] + ([True] if tie_col else [])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(by, ascending=asc, kind="mergesort")
+               .groupby(key, sort=False).head(k))
+        return out
+
+    def partial_batch(b: pa.Table) -> pd.DataFrame:
+        df = partial_topk(b.to_pandas())
+        df["gbucket"] = hash_bucket(df[key].to_numpy(), n_buckets)
+        return df
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = partial_topk(g.drop(columns=["gbucket"]))
+        out["rank"] = out.groupby(key, sort=False).cumcount() + 1
+        return out
+
+    return (ds.map_batches(partial_batch, batch_format="pyarrow")
+            .groupby("gbucket").map_groups(final_topk,
+                                           batch_format="pandas"))

@@ -1,0 +1,191 @@
+"""Ordered-merge temporal joins (stages/joins.py) and the per-key lag
+window (stages/events.py lag_features): differential tests against
+brute-force pandas/numpy references on adversarial fixtures — timestamp
+ties, boundary-inclusive interval ends, zero-match rows, a hot key owning
+most of the stream, and keys that never match across sides.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rand_events(rng, n, n_users, t_span=10_000):
+    """Synthetic keyed event stream with DELIBERATE ts collisions (small
+    integer time domain) so tie-breaking rules are actually exercised."""
+    return pd.DataFrame({
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "ts": rng.integers(0, t_span, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+
+
+def _brute_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, l in left.iterrows():
+        m = right[(right.user_id == l.user_id) & (right.ts <= l.ts)]
+        if len(m) == 0:
+            continue
+        r = m.sort_values(["ts", "event_id"]).iloc[-1]
+        rows.append((l.user_id, l.event_id, l.ts,
+                     r.event_id, r.ts, r.value))
+    return pd.DataFrame(rows, columns=["user_id", "event_id", "ts",
+                                       "r_id", "r_ts", "r_value"])
+
+
+def _brute_interval(iv: pd.DataFrame, pts: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, r in iv.iterrows():
+        m = pts[(pts.user_id == r.user_id)
+                & (pts.ts >= r.lo) & (pts.ts <= r.hi)]
+        if len(m) == 0:
+            continue
+        m = m.sort_values(["ts", "event_id"])
+        rows.append((r.interval_id, r.user_id, len(m),
+                     m.event_id.iloc[0], m.event_id.iloc[-1]))
+    return pd.DataFrame(rows, columns=["interval_id", "user_id",
+                                       "n_points", "first_id", "last_id"])
+
+
+def _sorted(df, cols):
+    return (df.sort_values(cols, kind="mergesort")
+            .reset_index(drop=True).astype("int64", errors="ignore"))
+
+
+@pytest.mark.parametrize("n_users", [3, 40])
+def test_asof_join_differential(ray_session, n_users):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    left = _rand_events(rng, 400, n_users)
+    right = _rand_events(rng, 400, n_users)
+    right["event_id"] += 10_000
+    # a hot key owning a big slice of both sides
+    left.loc[:120, "user_id"] = 0
+    right.loc[:120, "user_id"] = 0
+    # a left-only key (never matches) and duplicated right (ts, user) pairs
+    left.loc[121:140, "user_id"] = n_users + 5
+    right = pd.concat(
+        [right, right.iloc[:30].assign(event_id=lambda d: d.event_id + 555)],
+        ignore_index=True)
+
+    got = asof_join(
+        rd.from_pandas(left[["user_id", "ts", "event_id"]]),
+        rd.from_pandas(right),
+        right_value="value", n_buckets=5,
+        time_as_timestamp=False).to_pandas()
+    want = _brute_asof(left, right)
+
+    key = ["user_id", "event_id"]
+    got, want = _sorted(got, key), _sorted(want, key)
+    assert len(got) == len(want)
+    for c in ["user_id", "event_id", "ts", "r_id", "r_ts"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.allclose(got.r_value.to_numpy(), want.r_value.to_numpy())
+
+
+def test_asof_tie_breaks_to_greatest_right_id(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"user_id": [1, 1], "ts": [100, 50],
+                         "event_id": [1, 2]})
+    # two right rows at EXACTLY ts=100 (inclusive <=, greatest id wins);
+    # nothing at-or-before ts=50 => left row 2 dropped (INNER)
+    right = pd.DataFrame({"user_id": [1, 1, 1], "ts": [100, 100, 101],
+                          "event_id": [7, 9, 11],
+                          "value": [1.0, 2.0, 3.0]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    right_value="value", n_buckets=2,
+                    time_as_timestamp=False).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.event_id, row.r_id, row.r_ts, row.r_value) == (1, 9, 100, 2.0)
+
+
+def test_interval_join_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(11)
+    pts = _rand_events(rng, 500, 20)
+    n_iv = 120
+    lo = rng.integers(0, 9_000, n_iv).astype(np.int64)
+    iv = pd.DataFrame({
+        "interval_id": np.arange(n_iv, dtype=np.int64),
+        "user_id": rng.integers(0, 24, n_iv).astype(np.int64),  # some keys point-free
+        "lo": lo,
+        "hi": lo + rng.integers(0, 2_000, n_iv).astype(np.int64),
+    })
+    # force boundary hits: intervals 0/1 start/end EXACTLY on a point
+    iv.loc[0, ["user_id", "lo", "hi"]] = (
+        pts.user_id.iloc[0], pts.ts.iloc[0], pts.ts.iloc[0])
+    iv.loc[1, ["user_id", "lo", "hi"]] = (
+        pts.user_id.iloc[1], pts.ts.iloc[1] - 50, pts.ts.iloc[1])
+
+    got = interval_join(rd.from_pandas(iv),
+                        rd.from_pandas(pts[["user_id", "ts", "event_id"]]),
+                        n_buckets=5).to_pandas()
+    want = _brute_interval(iv, pts)
+
+    got, want = _sorted(got, ["interval_id"]), _sorted(want, ["interval_id"])
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the boundary intervals matched (inclusive ends), not dropped
+    assert {0, 1} <= set(got.interval_id)
+
+
+def test_interval_join_overlapping_intervals_count_independently(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.joins import interval_join
+
+    pts = pd.DataFrame({"user_id": [5, 5, 5], "ts": [10, 20, 30],
+                        "event_id": [100, 101, 102]})
+    iv = pd.DataFrame({"interval_id": [0, 1, 2], "user_id": [5, 5, 5],
+                       "lo": [0, 15, 25], "hi": [40, 40, 28]})
+    out = (interval_join(rd.from_pandas(iv), rd.from_pandas(pts),
+                         n_buckets=2).to_pandas()
+           .sort_values("interval_id").reset_index(drop=True))
+    assert out.n_points.tolist() == [3, 2]          # interval 2 matched nothing
+    assert out.first_id.tolist() == [100, 101]
+    assert out.last_id.tolist() == [102, 102]
+
+
+def test_lag_features_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import lag_features
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10_000, n), unit="s").astype("datetime64[us]"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+
+    got = (lag_features(rd.from_pandas(df), n_buckets=4).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    o = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    us = o.ts.astype("datetime64[us]").astype(np.int64)
+    g = o.groupby("user_id")
+    want = pd.DataFrame({
+        "event_id": o.event_id,
+        "prev_gap_us": (us - us.groupby(o.user_id).shift(1)).fillna(-1)
+                       .astype(np.int64),
+        "prev_type": g.event_type.shift(1).fillna(""),
+    }).sort_values("event_id").reset_index(drop=True)
+
+    assert (got.event_id.to_numpy() == want.event_id.to_numpy()).all()
+    assert (got.prev_gap_us.to_numpy() == want.prev_gap_us.to_numpy()).all()
+    assert (got.prev_type.to_numpy() == want.prev_type.to_numpy()).all()

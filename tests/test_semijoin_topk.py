@@ -1,0 +1,108 @@
+"""Generic semi/anti join + per-key top-k (stages/relational.py):
+differentials against pandas references, BOTH semi-join paths (broadcast
+isin and Ray-native left_semi/left_anti via a forced zero byte gate),
+duplicate right keys, string keys, ties, and k larger than a group.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _frames(seed=5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 300).astype(np.int64),
+        "payload": rng.integers(0, 10**6, 300).astype(np.int64),
+    })
+    # duplicate right keys on purpose: semi must not duplicate left rows
+    right = pd.DataFrame({
+        "k": np.repeat(rng.choice(50, 18, replace=False).astype(np.int64), 3),
+        "other": np.arange(54, dtype=np.int64),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("gate", [None, 0])  # None=broadcast isin, 0=native
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_anti_join_differential(ray_session, gate, anti):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import semi_join
+
+    left, right = _frames()
+    kw = {} if gate is None else {"broadcast_bytes": 0, "num_partitions": 4}
+    got = (semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", anti=anti, **kw).to_pandas()
+           [["k", "payload"]]
+           .sort_values(["k", "payload"]).reset_index(drop=True))
+
+    member = left.k.isin(set(right.k))
+    want = (left[~member if anti else member]
+            .sort_values(["k", "payload"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_semi_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import semi_join
+
+    left = pd.DataFrame({"k": ["a", "b", "c", "a", "d"],
+                         "v": [1, 2, 3, 4, 5]})
+    right = pd.DataFrame({"k": ["a", "d", "zz"]})
+    got = (semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+           .to_pandas().sort_values("v"))
+    assert got.v.tolist() == [1, 4, 5]
+    got_a = (semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", anti=True).to_pandas().sort_values("v"))
+    assert got_a.v.tolist() == [2, 3]
+
+
+def test_group_topk_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import group_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "key": rng.integers(0, 30, 500).astype(np.int64),
+        # small score domain => plenty of within-key ties
+        "score": rng.integers(0, 8, 500).astype(np.int64),
+        "id": np.arange(500, dtype=np.int64),
+    })
+    # one key with fewer rows than k
+    df.loc[df.key == 29, "key"] = 28
+    df.loc[0, "key"] = 29
+
+    k = 4
+    got = (group_topk(rd.from_pandas(df), key="key", order_col="score",
+                      k=k, ascending=False, tie_col="id", n_buckets=5)
+           .to_pandas().sort_values(["key", "rank"]).reset_index(drop=True))
+
+    o = df.sort_values(["key", "score", "id"], ascending=[True, False, True],
+                       kind="mergesort")
+    want = o.groupby("key", sort=False).head(k).copy()
+    want["rank"] = want.groupby("key", sort=False).cumcount() + 1
+    want = want.sort_values(["key", "rank"]).reset_index(drop=True)
+
+    assert len(got) == len(want)
+    for c in ["key", "score", "id", "rank"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the 1-row key survives with a single rank-1 row
+    assert got[got.key == 29]["rank"].tolist() == [1]
+
+
+def test_group_topk_ascending(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import group_topk
+
+    df = pd.DataFrame({"key": [1, 1, 1, 2], "score": [5, 2, 9, 7],
+                       "id": [10, 11, 12, 13]})
+    got = (group_topk(rd.from_pandas(df), key="key", order_col="score",
+                      k=2, ascending=True, tie_col="id", n_buckets=2)
+           .to_pandas().sort_values(["key", "rank"]))
+    assert got.id.tolist() == [11, 10, 13]
+    assert got["rank"].tolist() == [1, 2, 1]
