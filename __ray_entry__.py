@@ -294,6 +294,14 @@ def _q_events_interval(sf_dir: str):
     return interval_join(iv, pts, key="user_id")
 
 
+def _q_events_rolling(sf_dir: str):
+    """Trailing 7-day per-user window count + cents sum per event
+    (stages/events.py rolling_window — RANGE-frame window aggregate)."""
+    from pawpaw_ray.stages.events import rolling_window
+    return rolling_window(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
+
+
 def _q_events_lag(sf_dir: str):
     """Per-user ordered lag features (SQL LAG ... OVER (PARTITION BY user
     ORDER BY ts)) — stages/events.py lag_features."""
@@ -424,6 +432,16 @@ def _q_repetition_stats(sf_dir: str):
 def _q_dedup_keep_best(sf_dir: str):
     from pawpaw_ray.stages.dedup import dedup_keep_best
     return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-event-type exact value quantiles (stages/quantiles.py
+    grouped_quantiles — narrow (key, value) shuffle, vectorized per-bucket
+    rank selection)."""
+    from pawpaw_ray.stages.quantiles import grouped_quantiles
+    return grouped_quantiles(_events(sf_dir, ["event_type", "value"]),
+                             key="event_type", col="value",
+                             qs=(0.25, 0.5, 0.9, 0.99))
 
 
 def _q_kg_pagerank(sf_dir: str):
@@ -764,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_interval": _q_events_interval,
         "events_lag": _q_events_lag,
+        "events_rolling": _q_events_rolling,
         "number_count": _q_number_count,
         "numbers_extract": _q_numbers_extract,
         "ann_topk": _q_ann_topk,
@@ -797,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "quota_sample": _q_quota_sample,
         "quantiles": _q_quantiles,
+        "grouped_quantiles": _q_grouped_quantiles,
         "kg_pagerank": _q_kg_pagerank,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -1173,6 +1193,13 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(lag(event_type) OVER w, '') AS prev_type "
             "FROM events WINDOW w AS "
             "  (PARTITION BY user_id ORDER BY ts, event_id)",
+        "events_rolling":
+            "SELECT event_id, user_id, "
+            "  CAST(count(*) OVER w AS BIGINT) AS w_n, "
+            "  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) "
+            "    AS w_sum_cents "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "  RANGE BETWEEN INTERVAL 168 HOUR PRECEDING AND CURRENT ROW)",
         "q1_pricing":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
@@ -1292,6 +1319,18 @@ def oracle_sql() -> dict[str, str]:
             "  s.value AS value "
             "FROM q CROSS JOIN n "
             "JOIN s ON s.rn = CAST(ceil(q.q * n.n) AS BIGINT)",
+        "grouped_quantiles":
+            "WITH s AS (SELECT event_type, value, row_number() OVER "
+            "    (PARTITION BY event_type ORDER BY value) rn FROM events), "
+            "n AS (SELECT event_type, count(*) AS n FROM events "
+            "  GROUP BY event_type), "
+            "q AS (SELECT CAST(v.q AS DOUBLE) AS q FROM (VALUES (0.25), "
+            "  (0.5), (0.9), (0.99)) v(q)) "
+            "SELECT n.event_type, q.q AS q, "
+            "  greatest(1, CAST(ceil(q.q * n.n) AS BIGINT)) AS rank, "
+            "  s.value AS value "
+            "FROM q CROSS JOIN n JOIN s ON s.event_type = n.event_type "
+            "  AND s.rn = greatest(1, CAST(ceil(q.q * n.n) AS BIGINT))",
         "near_dup_jaccard": _jaccard_cluster_sql(0.5),
         "simhash_clusters": _SIMHASH_CLUSTERS_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,

@@ -148,6 +148,70 @@ def lag_features(events_ds, n_buckets: int | None = None):
             .map_groups(lag_features_bucket, batch_format="pandas"))
 
 
+def rolling_window_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Per-bucket trailing-window aggregates: for every event, the count and
+    integer-cents value sum of the SAME user's events with ``ts`` in
+    ``[ts_i - W, ts_i]`` — SQL ``RANGE BETWEEN <W> PRECEDING AND CURRENT
+    ROW`` semantics, peers (tied ``ts``) included on both sides.
+
+    Fully vectorized: one sort, then every per-row window is found with two
+    ``np.searchsorted`` calls over a strictly-ordered adjusted time axis —
+    per-user segments rebased to 0 and separated by ``max_span + W + 1``
+    gaps, so a trailing-window probe can never cross into the previous
+    user's segment.  Sums come from one cumulative-sum array (integer
+    cents, so Ray and the SQL oracle agree bit-for-bit regardless of
+    accumulation order — double windowed sums tie-break differently
+    between numpy cumsum and DuckDB's segment tree).
+    """
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    n = len(g)
+    newseg = np.empty(n, dtype=bool)
+    newseg[0] = True
+    newseg[1:] = uid[1:] != uid[:-1]
+    seg = np.cumsum(newseg) - 1
+    base = ts[newseg][seg]                       # per-row segment min ts
+    rel = ts - base
+    span = int(rel.max()) if n else 0
+    step = span + window_us + 1
+    n_segs = int(seg[-1]) + 1 if n else 0
+    if n_segs * step >= 1 << 62:
+        raise RuntimeError(
+            "rolling_window: adjusted time axis would overflow int64 "
+            f"({n_segs} keys x {step} us step in one bucket); raise "
+            "n_buckets so fewer keys share a bucket")
+    adj = rel + seg * step
+    lo = np.searchsorted(adj, adj - window_us, side="left")
+    hi = np.searchsorted(adj, adj, side="right")
+    cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+    cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(cents)])
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(np.int64),
+        "user_id": uid.astype(np.int64),
+        "w_n": (hi - lo).astype(np.int64),
+        "w_sum_cents": cs[hi] - cs[lo],
+    })
+
+
+def rolling_window(events_ds, window_s: int = 604_800,
+                   n_buckets: int | None = None):
+    """(event_id, user_id, w_n, w_sum_cents) — trailing-window count + sum
+    per event over the user's prior ``window_s`` seconds (default 7 days);
+    one bucketed shuffle, per-bucket two-searchsorted resolution."""
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+    window_us = window_s * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b.append_column("rbucket", pa.array(buck, pa.int32()))
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("rbucket")
+            .map_groups(lambda g: rolling_window_bucket(g, window_us),
+                        batch_format="pandas"))
+
+
 def user_ordered_stats(events_ds, n_buckets: int | None = None):
     n_buckets = n_buckets or shuffle_buckets(multiplier=1)
     def add_bucket(b: pa.Table) -> pa.Table:

@@ -197,3 +197,66 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
                      "rank": pa.array(np.array(out_r, dtype=np.int64)[order],
                                       pa.int64()),
                      "value": pa.array(np.array(out_v)[order], pa.float64())})
+
+
+def grouped_quantiles(ds, key: str, col: str, qs: tuple = (0.25, 0.5, 0.9),
+                      n_buckets: int | None = None):
+    """Exact per-group quantiles: for every ``key`` group, the value at
+    1-based ascending rank ``ceil(q * n_group)`` for each q (same rank
+    semantics — and the same single IEEE ``q*n`` multiply — as
+    :func:`exact_quantiles`, so a ``row_number() = ceil(q*n)`` SQL oracle
+    replays it exactly).  NaNs excluded from ranking.
+
+    Narrow shuffle: only ``(key, value)`` pairs cross the exchange, then
+    each bucket resolves ALL its groups vectorized — one lexsort, segment
+    boundaries, one gather per q; no per-group loop.  Contract: a single
+    group's values must fit in one reduce task (the standard bucketed-
+    groupby contract here); for corpus-scale single groups use the global
+    iterative :func:`exact_quantiles` on the key's subset instead.
+
+    Returns rows ``(key, q, rank, value)``.
+    """
+    import pandas as pd
+
+    from pawpaw_ray.tuning import hash_bucket, shuffle_buckets
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+    qs = tuple(float(q) for q in qs)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], col: b[col]})
+        return t.append_column(
+            "qbucket", pa.array(hash_bucket(
+                b[key].to_numpy(zero_copy_only=False), n_buckets),
+                pa.int32()))
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[col].to_numpy(np.float64)
+        k = g[key].to_numpy()
+        ok = ~np.isnan(v)
+        v, k = v[ok], k[ok]
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        if not n:
+            return pd.DataFrame({key: k[:0], "q": np.empty(0),
+                                 "rank": np.empty(0, np.int64),
+                                 "value": np.empty(0)})
+        newseg = np.empty(n, dtype=bool)
+        newseg[0] = True
+        newseg[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(newseg)
+        sizes = np.diff(np.append(starts, n))
+        frames = []
+        for q in qs:
+            ranks = np.maximum(np.ceil(q * sizes), 1).astype(np.int64)
+            frames.append(pd.DataFrame({
+                key: ks[starts],
+                "q": np.full(len(starts), q, np.float64),
+                "rank": ranks,
+                "value": vs[starts + ranks - 1],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("qbucket").map_groups(bucket_fn,
+                                           batch_format="pandas"))

@@ -158,6 +158,44 @@ def test_interval_join_overlapping_intervals_count_independently(ray_session):
     assert out.last_id.tolist() == [102, 102]
 
 
+def test_rolling_window_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import rolling_window
+
+    rng = np.random.default_rng(13)
+    n = 500
+    # integer-second time domain with collisions: tied ts must behave as
+    # RANGE-frame peers (counted on both sides of the current row)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 2_000, n), unit="s").astype("datetime64[us]"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.uniform(0, 50, n), 2),
+    })
+    W = 300  # seconds
+
+    got = (rolling_window(rd.from_pandas(df), window_s=W, n_buckets=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+    cents = np.rint(df.value.to_numpy() * 100).astype(np.int64)
+    want_n, want_s = [], []
+    for i in range(n):
+        m = ((df.user_id == df.user_id[i])
+             & (df.ts >= df.ts[i] - pd.Timedelta(seconds=W))
+             & (df.ts <= df.ts[i]))
+        want_n.append(int(m.sum()))
+        want_s.append(int(cents[m.to_numpy()].sum()))
+    want = pd.DataFrame({"event_id": df.event_id, "w_n": want_n,
+                         "w_sum_cents": want_s})
+
+    assert (got.event_id.to_numpy() == want.event_id.to_numpy()).all()
+    assert (got.w_n.to_numpy() == want.w_n.to_numpy()).all()
+    assert (got.w_sum_cents.to_numpy() == want.w_sum_cents.to_numpy()).all()
+    assert got.w_n.max() > 1  # fixture actually exercises multi-row windows
+
+
 def test_lag_features_differential(ray_session):
     import ray.data as rd
 

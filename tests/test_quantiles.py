@@ -84,3 +84,45 @@ def test_quantiles_unconverged_raises_preemptively(ray_session):
     ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
     with pytest.raises(RuntimeError, match="did not converge"):
         exact_quantiles(ds, "value", qs=(0.5,), gate_rows=2, max_rounds=0)
+
+
+def test_grouped_quantiles_vs_numpy(ray_session):
+    """Per-group rank-ceil(q*n) values vs a brute-force per-group sort,
+    including a 1-row group, a duplicate-heavy group, and NaNs."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pawpaw_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], 400),
+        "value": rng.uniform(0, 100, 400),
+    })
+    df.loc[df.k == "d", "value"] = 7.0          # duplicate-heavy group
+    df = pd.concat([df, pd.DataFrame({"k": ["solo"], "value": [3.25]})],
+                   ignore_index=True)
+    df.loc[5, "value"] = np.nan                  # excluded from ranking
+
+    qs = (0.25, 0.5, 0.9, 0.99)
+    got = (grouped_quantiles(rd.from_pandas(df), key="k", col="value",
+                             qs=qs, n_buckets=3)
+           .to_pandas().sort_values(["k", "q"]).reset_index(drop=True))
+
+    rows = []
+    for k, grp in df.groupby("k"):
+        v = np.sort(grp.value.dropna().to_numpy())
+        for q in qs:
+            r = max(1, math.ceil(q * len(v)))
+            rows.append((k, q, r, v[r - 1]))
+    want = (pd.DataFrame(rows, columns=["k", "q", "rank", "value"])
+            .sort_values(["k", "q"]).reset_index(drop=True))
+
+    assert len(got) == len(want)
+    assert (got.k.to_numpy() == want.k.to_numpy()).all()
+    assert (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+    assert (got.value.to_numpy() == want.value.to_numpy()).all()
+    assert (got[got.k == "solo"]["value"] == 3.25).all()
