@@ -294,6 +294,22 @@ def _q_events_interval(sf_dir: str):
     return interval_join(iv, pts, key="user_id")
 
 
+def _q_events_hopping(sf_dir: str):
+    """6-hour windows hopping hourly (stages/events.py hopping_window —
+    map-side vectorized replication + partial aggregation)."""
+    from pawpaw_ray.stages.events import hopping_window
+    return hopping_window(_events(sf_dir, ["user_id", "ts", "value"]),
+                          window_s=21_600, hop_s=3_600)
+
+
+def _q_user_mode_type(sf_dir: str):
+    """Per-user modal event type (stages/events.py group_mode — two-level
+    count aggregation, deterministic lexicographic tie-break)."""
+    from pawpaw_ray.stages.events import group_mode
+    return group_mode(_events(sf_dir, ["user_id", "event_type"]),
+                      key="user_id", col="event_type")
+
+
 def _q_events_rolling(sf_dir: str):
     """Trailing 7-day per-user window count + cents sum per event
     (stages/events.py rolling_window — RANGE-frame window aggregate)."""
@@ -783,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval": _q_events_interval,
         "events_lag": _q_events_lag,
         "events_rolling": _q_events_rolling,
+        "events_hopping": _q_events_hopping,
+        "user_mode_type": _q_user_mode_type,
         "number_count": _q_number_count,
         "numbers_extract": _q_numbers_extract,
         "ann_topk": _q_ann_topk,
@@ -1193,6 +1211,21 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(lag(event_type) OVER w, '') AS prev_type "
             "FROM events WINDOW w AS "
             "  (PARTITION BY user_id ORDER BY ts, event_id)",
+        "events_hopping":
+            "SELECT user_id, "
+            "  (CAST(floor(epoch(ts)/3600) AS BIGINT) - k.k) * 3600 "
+            "    AS win_start, "
+            "  count(*) AS n, "
+            "  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+            "    AS sum_cents "
+            "FROM events CROSS JOIN range(6) k(k) "
+            "GROUP BY user_id, win_start",
+        "user_mode_type":
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            "  FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "  ORDER BY n DESC, event_type) rn FROM c) "
+            "SELECT user_id, event_type, n FROM r WHERE rn = 1",
         "events_rolling":
             "SELECT event_id, user_id, "
             "  CAST(count(*) OVER w AS BIGINT) AS w_n, "

@@ -86,7 +86,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         names = ("token_count", "quality", "top_tokens", "dedup_exact",
                  "number_count", "events_window", "events_user_stats",
                  "events_sessions", "events_asof", "events_interval",
-                 "events_lag", "events_rolling",
+                 "events_lag", "events_rolling", "events_hopping",
+                 "user_mode_type",
                  "quantiles", "grouped_quantiles", "ann_topk", "ann_topk_lsh",
                  "ann_topk_ivf", "simhash",
                  "minhash_dedup", "near_dup_jaccard", "simhash_clusters",

@@ -148,6 +148,86 @@ def lag_features(events_ds, n_buckets: int | None = None):
             .map_groups(lag_features_bucket, batch_format="pandas"))
 
 
+def hopping_window(events_ds, window_s: int = 21_600, hop_s: int = 3_600,
+                   n_buckets: int | None = None):
+    """Hopping (sliding) window aggregates: every event lands in the
+    ``window_s / hop_s`` overlapping windows ``[s, s + window_s)`` whose
+    start ``s`` is a multiple of ``hop_s`` — (user_id, win_start, n,
+    sum_cents) per window.  ``window_s`` must be a multiple of ``hop_s``.
+
+    Map-side: each batch replicates rows into their windows VECTORIZED
+    (one ``np.repeat`` + tiled hop index, no per-row loop) and partially
+    aggregates, so the shuffle moves one row per (user, window) per batch
+    — the replication factor never reaches the exchange.  Value sums in
+    integer cents (exact across engines, same rationale as
+    :func:`rolling_window_bucket`).
+    """
+    if window_s % hop_s:
+        raise ValueError("window_s must be a multiple of hop_s")
+    m = window_s // hop_s
+    hop_us = hop_s * 1_000_000
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = t // hop_us
+        n = len(t)
+        k = np.tile(np.arange(m, dtype=np.int64), n)
+        df = pd.DataFrame({
+            "user_id": np.repeat(b["user_id"].to_numpy(), m),
+            "win_start": (np.repeat(base, m) - k) * np.int64(hop_s),
+            "cents": np.repeat(
+                np.rint(b["value"].to_numpy() * 100).astype(np.int64), m),
+        })
+        agg = (df.groupby(["user_id", "win_start"], sort=False)["cents"]
+               .agg(n="size", sum_cents="sum").reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["hbucket"] = (agg["user_id"].to_numpy()
+                          % n_buckets).astype(np.int32)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["user_id", "win_start"], sort=False)
+               .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+               .reset_index())
+        return out.astype("int64")
+
+    return (events_ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("hbucket").map_groups(merge, batch_format="pandas"))
+
+
+def group_mode(ds, key: str, col: str, n_buckets: int | None = None):
+    """Per-key mode of ``col`` (most frequent value; ties resolved to the
+    lexicographically smallest value — deterministic and SQL-replayable
+    via ``row_number() OVER (ORDER BY n DESC, value)``), with its count.
+
+    Two-level aggregation: per-batch (key, value) counts shrink the
+    exchange to one row per distinct pair per batch; the bucketed merge
+    re-sums and takes each key's winner with one vectorized sort + grouped
+    head — no per-key loop.
+    """
+    from pawpaw_ray.tuning import hash_bucket
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           col: b[col].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby([key, col], sort=False)
+               .size().rename("n").reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["mbucket"] = hash_bucket(agg[key].to_numpy(), n_buckets)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby([key, col], sort=False)["n"].sum().reset_index())
+        c = c.sort_values([key, "n", col], ascending=[True, False, True],
+                          kind="mergesort")
+        return c.groupby(key, sort=False).head(1).reset_index(drop=True)
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("mbucket").map_groups(merge, batch_format="pandas"))
+
+
 def rolling_window_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
     """Per-bucket trailing-window aggregates: for every event, the count and
     integer-cents value sum of the SAME user's events with ``ts`` in

@@ -196,6 +196,86 @@ def test_rolling_window_differential(ray_session):
     assert got.w_n.max() > 1  # fixture actually exercises multi-row windows
 
 
+def test_hopping_window_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import hopping_window
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 50_000, n), unit="s").astype("datetime64[us]"),
+        "value": np.round(rng.uniform(0, 50, n), 2),
+    })
+    W, H = 4000, 1000  # 4 hops per window
+
+    got = (hopping_window(rd.from_pandas(df), window_s=W, hop_s=H,
+                          n_buckets=3).to_pandas()
+           .sort_values(["user_id", "win_start"]).reset_index(drop=True))
+
+    # brute force: event t belongs to window starts s in (t-W, t], s % H == 0
+    cents = np.rint(df.value.to_numpy() * 100).astype(np.int64)
+    secs = df.ts.astype("datetime64[s]").astype(np.int64).to_numpy()
+    rows = {}
+    for i in range(n):
+        base = (secs[i] // H) * H
+        for k in range(W // H):
+            s = base - k * H
+            key = (df.user_id[i], s)
+            c, t = rows.get(key, (0, 0))
+            rows[key] = (c + 1, t + cents[i])
+    want = (pd.DataFrame([(u, s, c, t) for (u, s), (c, t) in rows.items()],
+                         columns=["user_id", "win_start", "n", "sum_cents"])
+            .sort_values(["user_id", "win_start"]).reset_index(drop=True))
+
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # windows genuinely overlap: total window rows > per-event count
+    assert got.n.sum() == n * (W // H)
+
+
+def test_hopping_window_rejects_nondivisible(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import hopping_window
+
+    df = pd.DataFrame({"user_id": [1], "ts": pd.to_datetime([0], unit="s"),
+                       "value": [1.0]})
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window(rd.from_pandas(df), window_s=5000, hop_s=1500)
+
+
+def test_group_mode_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import group_mode
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 800).astype(np.int64),
+        "v": rng.choice(list("abcde"), 800),
+    })
+    # force an exact tie in one key: equal counts must pick the smaller value
+    df = pd.concat([df[df.k != 39],
+                    pd.DataFrame({"k": [39] * 4, "v": ["d", "b", "b", "d"]})],
+                   ignore_index=True)
+
+    got = (group_mode(rd.from_pandas(df), key="k", col="v", n_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    c = df.groupby(["k", "v"]).size().rename("n").reset_index()
+    c = c.sort_values(["k", "n", "v"], ascending=[True, False, True])
+    want = c.groupby("k").head(1).sort_values("k").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    for col in ["k", "v", "n"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    assert got[got.k == 39].v.item() == "b"   # tie broke lexicographically
+
+
 def test_lag_features_differential(ray_session):
     import ray.data as rd
 
