@@ -310,6 +310,14 @@ def _q_user_mode_type(sf_dir: str):
                       key="user_id", col="event_type")
 
 
+def _q_events_funnel(sf_dir: str):
+    """view -> click -> purchase ordered conversion funnel per user
+    (stages/events.py funnel — per-bucket masked reduceat chain)."""
+    from pawpaw_ray.stages.events import funnel
+    return funnel(_events(sf_dir, ["user_id", "ts", "event_id",
+                                   "event_type"]))
+
+
 def _q_events_rolling(sf_dir: str):
     """Trailing 7-day per-user window count + cents sum per event
     (stages/events.py rolling_window — RANGE-frame window aggregate)."""
@@ -801,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_hopping": _q_events_hopping,
         "user_mode_type": _q_user_mode_type,
+        "events_funnel": _q_events_funnel,
         "number_count": _q_number_count,
         "numbers_extract": _q_numbers_extract,
         "ann_topk": _q_ann_topk,
@@ -1226,6 +1235,18 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
             "  ORDER BY n DESC, event_type) rn FROM c) "
             "SELECT user_id, event_type, n FROM r WHERE rn = 1",
+        "events_funnel":
+            "WITH a AS (SELECT user_id, min(ts) AS ts_view FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "b AS (SELECT e.user_id, min(e.ts) AS ts_click FROM events e "
+            "  JOIN a ON a.user_id = e.user_id AND e.ts >= a.ts_view "
+            "  WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS ts_purchase FROM events e "
+            "  JOIN b ON b.user_id = e.user_id AND e.ts >= b.ts_click "
+            "  WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT a.user_id, a.ts_view, b.ts_click, c.ts_purchase "
+            "FROM a JOIN b ON b.user_id = a.user_id "
+            "JOIN c ON c.user_id = a.user_id",
         "events_rolling":
             "SELECT event_id, user_id, "
             "  CAST(count(*) OVER w AS BIGINT) AS w_n, "

@@ -196,6 +196,62 @@ def hopping_window(events_ds, window_s: int = 21_600, hop_s: int = 3_600,
             .groupby("hbucket").map_groups(merge, batch_format="pandas"))
 
 
+def funnel_bucket(g: pd.DataFrame, steps: tuple) -> pd.DataFrame:
+    """Per-bucket ordered-funnel resolution: for each user, the earliest
+    timestamp of step i at-or-after the user's resolved step-(i-1) time
+    (``t_i = min ts where type = steps[i] and ts >= t_{i-1}``, inclusive so
+    a same-microsecond next step counts).  INNER: users that never complete
+    every step are dropped (null timestamps drift to NaT/None and poison
+    engine-exact comparison).
+
+    Vectorized per step: one masked where + ``np.minimum.reduceat`` over
+    the user segment boundaries — k steps = k linear passes, no per-user
+    loop."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    et = g["event_type"].to_numpy(object)
+    n = len(g)
+    newseg = np.empty(n, dtype=bool)
+    newseg[0] = True
+    newseg[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(newseg)
+    seg = np.cumsum(newseg) - 1
+    big = np.iinfo(np.int64).max
+    prev = np.full(len(starts), np.iinfo(np.int64).min)   # t_0 = -inf
+    out_ts = []
+    for s in steps:
+        cand = np.where((et == s) & (ts >= prev[seg]), ts, big)
+        t_i = np.minimum.reduceat(cand, starts)
+        out_ts.append(t_i)
+        prev = t_i                                  # big propagates: once a
+        # step is missing every later step's ts >= big comparison fails
+    done = out_ts[-1] != big
+    out = {"user_id": uid[starts][done].astype(np.int64)}
+    for s, t_i in zip(steps, out_ts):
+        out[f"ts_{s}"] = t_i[done].astype("datetime64[us]")
+    return pd.DataFrame(out)
+
+
+def funnel(events_ds, steps: tuple = ("view", "click", "purchase"),
+           n_buckets: int | None = None):
+    """Ordered conversion funnel: per user, the earliest chain of ``steps``
+    timestamps where each step occurs at-or-after the previous resolved
+    step; only fully-converted users are emitted.  One bucketed shuffle of
+    ``(user_id, ts, event_id, event_type)``; per-bucket vectorized
+    resolution (``funnel_bucket``)."""
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buck = (b["user_id"].to_numpy() % n_buckets).astype(np.int32)
+        return b.append_column("fbucket", pa.array(buck, pa.int32()))
+
+    return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("fbucket")
+            .map_groups(lambda g: funnel_bucket(g, tuple(steps)),
+                        batch_format="pandas"))
+
+
 def group_mode(ds, key: str, col: str, n_buckets: int | None = None):
     """Per-key mode of ``col`` (most frequent value; ties resolved to the
     lexicographically smallest value — deterministic and SQL-replayable

@@ -276,6 +276,62 @@ def test_group_mode_differential(ray_session):
     assert got[got.k == 39].v.item() == "b"   # tie broke lexicographically
 
 
+def test_funnel_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.events import funnel
+
+    rng = np.random.default_rng(29)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 5_000, n), unit="s").astype("datetime64[us]"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["A", "B", "C", "noise"], n,
+                                 p=[0.2, 0.2, 0.1, 0.5]),
+    })
+    # user 40: B-before-A only => must NOT convert (order matters)
+    extra = pd.DataFrame({
+        "user_id": [40, 40, 40],
+        "ts": pd.to_datetime([10, 20, 5], unit="s").astype("datetime64[us]"),
+        "event_id": [9000, 9001, 9002],
+        "event_type": ["B", "A", "C"],   # C at t=5 precedes A at t=20
+    })
+    # user 41: A, then B at the SAME microsecond => inclusive >= counts
+    extra2 = pd.DataFrame({
+        "user_id": [41, 41, 41],
+        "ts": pd.to_datetime([30, 30, 31], unit="s").astype("datetime64[us]"),
+        "event_id": [9100, 9101, 9102],
+        "event_type": ["A", "B", "C"],
+    })
+    df = pd.concat([df, extra, extra2], ignore_index=True)
+
+    got = (funnel(rd.from_pandas(df), steps=("A", "B", "C"), n_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    rows = []
+    for u, grp in df.groupby("user_id"):
+        t_prev, ok, chain = pd.Timestamp.min, True, []
+        for s in ("A", "B", "C"):
+            cand = grp[(grp.event_type == s) & (grp.ts >= t_prev)]
+            if len(cand) == 0:
+                ok = False
+                break
+            t_prev = cand.ts.min()
+            chain.append(t_prev)
+        if ok:
+            rows.append((u, *chain))
+    want = (pd.DataFrame(rows, columns=["user_id", "ts_A", "ts_B", "ts_C"])
+            .sort_values("user_id").reset_index(drop=True))
+
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert 40 not in set(got.user_id)
+    assert 41 in set(got.user_id)
+
+
 def test_lag_features_differential(ray_session):
     import ray.data as rd
 
