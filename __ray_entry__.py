@@ -310,6 +310,38 @@ def _q_user_mode_type(sf_dir: str):
                       key="user_id", col="event_type")
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_user_type_pivot(sf_dir: str):
+    """Per-user event-type crosstab (stages/relational.py pivot_counts —
+    map-side wide partials, one wide row per key per batch)."""
+    from pawpaw_ray.stages.relational import pivot_counts
+    return pivot_counts(_events(sf_dir, ["user_id", "event_type"]),
+                        key="user_id", cat_col="event_type",
+                        categories=_EVENT_TYPES)
+
+
+def _q_user_active_days(sf_dir: str):
+    """Exact per-user COUNT(DISTINCT active day) (stages/relational.py
+    distinct_count over a derived day index)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pawpaw_ray.stages.relational import distinct_count
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(day, pa.int64())})
+
+    ds = (_events(sf_dir, ["user_id", "ts"])
+          .map_batches(add_day, batch_format="pyarrow"))
+    return distinct_count(ds, key="user_id", val_col="day",
+                          out_col="n_days")
+
+
 def _q_events_funnel(sf_dir: str):
     """view -> click -> purchase ordered conversion funnel per user
     (stages/events.py funnel — per-bucket masked reduceat chain)."""
@@ -810,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "user_mode_type": _q_user_mode_type,
         "events_funnel": _q_events_funnel,
+        "user_type_pivot": _q_user_type_pivot,
+        "user_active_days": _q_user_active_days,
         "number_count": _q_number_count,
         "numbers_extract": _q_numbers_extract,
         "ann_topk": _q_ann_topk,
@@ -1235,6 +1269,16 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
             "  ORDER BY n DESC, event_type) rn FROM c) "
             "SELECT user_id, event_type, n FROM r WHERE rn = 1",
+        "user_type_pivot":
+            "SELECT user_id, "
+            + ", ".join(
+                f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                for t in _EVENT_TYPES)
+            + " FROM events GROUP BY user_id",
+        "user_active_days":
+            "SELECT user_id, count(DISTINCT "
+            "  CAST(floor(epoch(ts)/86400) AS BIGINT)) AS n_days "
+            "FROM events GROUP BY user_id",
         "events_funnel":
             "WITH a AS (SELECT user_id, min(ts) AS ts_view FROM events "
             "  WHERE event_type = 'view' GROUP BY user_id), "

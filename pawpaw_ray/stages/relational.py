@@ -249,3 +249,67 @@ def group_topk(ds, key: str, order_col: str, k: int,
     return (ds.map_batches(partial_batch, batch_format="pyarrow")
             .groupby("gbucket").map_groups(final_topk,
                                            batch_format="pandas"))
+
+
+def pivot_counts(ds, key: str, cat_col: str, categories: tuple,
+                 n_buckets: int | None = None):
+    """Pivot/crosstab counts: one row per ``key`` with an ``n_<cat>``
+    int64 column per FIXED category (wide schemas must be static in a
+    distributed plan — an unknown category set would make the block schema
+    data-dependent; values outside ``categories`` are ignored).
+
+    Map-side wide partials (one grouped ``unstack`` per batch — the
+    shuffle moves one wide row per key per batch, not events), bucketed
+    column-sum merge.  SQL: ``count(*) FILTER (WHERE cat = c)`` per c.
+    """
+    from pawpaw_ray.tuning import hash_bucket, shuffle_buckets
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+    cols = [f"n_{c}" for c in categories]
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           "_c": b[cat_col].to_numpy(zero_copy_only=False)})
+        w = (df[df["_c"].isin(categories)]
+             .groupby([key, "_c"], sort=False).size().unstack("_c")
+             .reindex(columns=list(categories), fill_value=0)
+             .fillna(0).astype(np.int64))
+        w.columns = [f"n_{c}" for c in w.columns]
+        w = w.reset_index()
+        w["pbucket"] = hash_bucket(w[key].to_numpy(), n_buckets)
+        return w
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, sort=False)[cols].sum().reset_index()
+        out[cols] = out[cols].astype(np.int64)
+        return out
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("pbucket").map_groups(merge, batch_format="pandas"))
+
+
+def distinct_count(ds, key: str, val_col: str,
+                   out_col: str = "n_distinct",
+                   n_buckets: int | None = None):
+    """Exact per-key COUNT(DISTINCT val): per-batch (key, val) dedup
+    shrinks the exchange to distinct pairs per batch, then each bucket
+    deduplicates across batches and counts per key — all vectorized
+    (``drop_duplicates`` + grouped size), never a per-key set in Python.
+    """
+    from pawpaw_ray.tuning import hash_bucket, shuffle_buckets
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        df = (pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                            val_col: b[val_col].to_numpy(zero_copy_only=False)})
+              .drop_duplicates())
+        df["dbucket"] = hash_bucket(df[key].to_numpy(), n_buckets)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key, val_col])
+        out = d.groupby(key, sort=False).size().rename(out_col).reset_index()
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("dbucket").map_groups(merge, batch_format="pandas"))

@@ -94,6 +94,54 @@ def test_group_topk_differential(ray_session):
     assert got[got.key == 29]["rank"].tolist() == [1]
 
 
+def test_pivot_counts_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, 600).astype(np.int64),
+        "c": rng.choice(["x", "y", "z", "IGNORED"], 600),
+    })
+    cats = ("x", "y", "z")
+    got = (pivot_counts(rd.from_pandas(df), key="k", cat_col="c",
+                        categories=cats, n_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    want = (df[df.c.isin(cats)].groupby(["k", "c"]).size().unstack("c")
+            .reindex(columns=list(cats), fill_value=0).fillna(0)
+            .astype(np.int64).reset_index())
+    want.columns = ["k"] + [f"n_{c}" for c in cats]
+    # keys whose rows were ALL out-of-category never appear on got's side
+    want = want[(want[[f"n_{c}" for c in cats]].sum(axis=1)) > 0]
+    want = want.sort_values("k").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_distinct_count_differential(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import distinct_count
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 700).astype(np.int64),
+        "v": rng.integers(0, 9, 700).astype(np.int64),  # heavy duplication
+    })
+    got = (distinct_count(rd.from_pandas(df), key="k", val_col="v",
+                          n_buckets=4).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k").v.nunique().rename("n_distinct").reset_index()
+            .sort_values("k").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got.k.to_numpy() == want.k.to_numpy()).all()
+    assert (got.n_distinct.to_numpy() == want.n_distinct.to_numpy()).all()
+
+
 def test_group_topk_ascending(ray_session):
     import ray.data as rd
 
