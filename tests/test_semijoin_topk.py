@@ -58,6 +58,11 @@ def test_semi_join_string_keys(ray_session):
     got_a = (semi_join(rd.from_pandas(left), rd.from_pandas(right),
                        on="k", anti=True).to_pandas().sort_values("v"))
     assert got_a.v.tolist() == [2, 3]
+    # native join path must agree on string keys too
+    got_n = (semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       broadcast_bytes=0, num_partitions=2)
+             .to_pandas().sort_values("v"))
+    assert got_n.v.tolist() == [1, 4, 5]
 
 
 def test_group_topk_differential(ray_session):
