@@ -490,6 +490,17 @@ def _q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_docs(sf_dir, ["doc_id", "text", "n_chars"]))
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping token-window chunking for embedding/RAG prep
+    (stages/curation.py chunk_documents — purely map-side, no shuffle)."""
+    from pawpaw_ray.stages.curation import chunk_documents
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-event-type exact value quantiles (stages/quantiles.py
     grouped_quantiles — narrow (key, value) shuffle, vectorized per-bucket
@@ -878,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "quantiles": _q_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
+        "doc_chunks": _q_doc_chunks,
         "kg_pagerank": _q_kg_pagerank,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -1417,6 +1429,24 @@ def oracle_sql() -> dict[str, str]:
             "  s.value AS value "
             "FROM q CROSS JOIN n "
             "JOIN s ON s.rn = CAST(ceil(q.q * n.n) AS BIGINT)",
+        "doc_chunks":
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text, "
+            "    ' ' || chr(9) || chr(10) || chr(12) || chr(13)), "
+            "    '[ \\t\\n\\f\\r]+') AS toks FROM documents), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM t "
+            "  WHERE NOT (len(toks) = 1 AND toks[1] = '')), "
+            "c AS (SELECT doc_id, toks, n, k.k AS chunk_idx "
+            "  FROM n CROSS JOIN range(200) k(k) "
+            f"  WHERE k.k = 0 OR (k.k - 1) * {_CHUNK_STRIDE} "
+            f"    + {_CHUNK_SIZE} < n) "
+            "SELECT doc_id, chunk_idx, "
+            "  array_to_string(list_slice(toks, "
+            f"    chunk_idx*{_CHUNK_STRIDE} + 1, "
+            f"    chunk_idx*{_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') "
+            "    AS chunk_text, "
+            f"  len(list_slice(toks, chunk_idx*{_CHUNK_STRIDE} + 1, "
+            f"    chunk_idx*{_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS n_tokens "
+            "FROM c",
         "grouped_quantiles":
             "WITH s AS (SELECT event_type, value, row_number() OVER "
             "    (PARTITION BY event_type ORDER BY value) rn FROM events), "

@@ -103,7 +103,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "str_ops", "format_grid", "xml_ns", "str_esc",
                  "arborform_flow", "postorator_grid", "kg_pagerank",
                  "hash_split", "stratified_sample", "quota_sample",
-                 "decontaminate", "dup_spans", "token_pack", "shuffle_order")
+                 "decontaminate", "dup_spans", "token_pack", "shuffle_order",
+                 "doc_chunks")
     if names:
         import pandas as pd
         import __ray_entry__ as entrymod

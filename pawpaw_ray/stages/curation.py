@@ -459,3 +459,59 @@ def quota_sample(ds, k_scale: int = 8, strata_col: str = "source",
 
     return (ds.map_batches(partial_topk, batch_format="pyarrow")
               .groupby(strata_col).map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# overlapping document chunking (embedding / RAG window prep)
+# ---------------------------------------------------------------------------
+
+# Explicit ASCII whitespace class, NOT \s: Python re's \s is unicode-aware
+# while DuckDB's RE2 \s is ASCII-only — the explicit class makes both
+# engines split identically by construction.
+_WS_RX = rx.compile(r"[ \t\n\f\r]+")
+_WS_CHARS = " \t\n\f\r"
+
+
+def chunk_documents(ds, size: int = 64, stride: int = 48,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into overlapping token windows — the
+    embedding/RAG prep step: window k covers whitespace tokens
+    ``[k*stride, k*stride + size)``; chunk k is emitted iff ``k == 0`` or
+    chunk ``k-1`` ended before the document's token count (so a doc never
+    yields a window fully contained in the previous one, and every doc
+    yields >= 1 chunk).  Chunk text re-joins tokens with single spaces
+    (whitespace-normalized by design — windows are for embedding, not
+    round-tripping; span-exact sub-document work uses the span kernels).
+
+    Purely map-side — NO shuffle: each output chunk row is derived from
+    one input row, so the operator streams at any corpus size.  Requires
+    ``stride <= size`` (gaps would silently drop tokens) and
+    ``stride >= 1``.
+    """
+    if not (1 <= stride <= size):
+        raise ValueError("need 1 <= stride <= size")
+
+    def chunks_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_k, out_txt, out_n = [], [], [], []
+        for i, t in enumerate(b[text_col].to_pylist()):
+            toks = _WS_RX.split((t or "").strip(_WS_CHARS))
+            if toks == [""]:
+                continue
+            n = len(toks)
+            k = 0
+            while k == 0 or (k - 1) * stride + size < n:
+                win = toks[k * stride:k * stride + size]
+                out_id.append(ids[i])
+                out_k.append(k)
+                out_txt.append(" ".join(win))
+                out_n.append(len(win))
+                k += 1
+        return pa.table({
+            id_col: pa.array(out_id),
+            "chunk_idx": pa.array(out_k, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(chunks_batch, batch_format="pyarrow")

@@ -408,3 +408,62 @@ def test_quota_sample_precomputed_quotas(ray_session):
     a = auto.sort_values(["lang", "rk"]).reset_index(drop=True)
     b = pinned.sort_values(["lang", "rk"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_documents_differential(ray_session):
+    """Overlapping chunk windows vs a per-doc brute force: short docs
+    (one chunk), exact-boundary docs (no redundant tail window), long
+    docs (several windows), whitespace-run and leading/trailing space
+    handling, and the all-whitespace doc (zero chunks)."""
+    import math
+
+    import ray.data as rd
+
+    from pawpaw_ray.stages.curation import chunk_documents
+
+    rng = np.random.default_rng(41)
+    texts = []
+    for n in [1, 5, 10, 11, 34, 58, 59, 80, 200]:
+        words = [f"w{rng.integers(0, 50)}" for _ in range(n)]
+        texts.append("  " + " \t ".join(words) + "\n")
+    texts.append("   \t\n  ")          # all-whitespace: zero chunks
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+
+    size, stride = 10, 6
+    got = (chunk_documents(rd.from_pandas(df), size=size, stride=stride)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+
+    rows = []
+    for _, r in df.iterrows():
+        toks = r.text.split()
+        if not toks:
+            continue
+        n = len(toks)
+        n_chunks = 1 if n <= size else 1 + math.ceil((n - size) / stride)
+        for k in range(n_chunks):
+            win = toks[k * stride:k * stride + size]
+            rows.append((r.doc_id, k, " ".join(win), len(win)))
+    want = (pd.DataFrame(rows, columns=["doc_id", "chunk_idx",
+                                        "chunk_text", "n_tokens"])
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # doc with 200 tokens has many windows; all-whitespace doc has none
+    assert got[got.doc_id == 8].chunk_idx.max() > 2
+    assert 9 not in set(got.doc_id)
+
+
+def test_chunk_documents_rejects_bad_stride(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.curation import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a b c"]})
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(rd.from_pandas(df), size=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(rd.from_pandas(df), size=4, stride=0)
