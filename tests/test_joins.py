@@ -107,6 +107,26 @@ def test_asof_tie_breaks_to_greatest_right_id(ray_session):
     assert (row.event_id, row.r_id, row.r_ts, row.r_value) == (1, 9, 100, 2.0)
 
 
+def test_asof_no_value_column_and_timestamp_output(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({
+        "user_id": [1, 1], "event_id": [1, 2],
+        "ts": pd.to_datetime([100, 200], unit="s").astype("datetime64[us]")})
+    right = pd.DataFrame({
+        "user_id": [1], "event_id": [7],
+        "ts": pd.to_datetime([150], unit="s").astype("datetime64[us]")})
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     n_buckets=2).to_pandas())
+    # right_value=None => no r_value column; timestamps come back as such
+    assert list(out.columns) == ["user_id", "event_id", "ts", "r_id", "r_ts"]
+    assert len(out) == 1 and out.event_id.item() == 2
+    assert out.ts.dtype.kind == "M" and out.r_ts.dtype.kind == "M"
+    assert out.r_ts.item() == pd.Timestamp("1970-01-01 00:02:30")
+
+
 def test_interval_join_differential(ray_session):
     import ray.data as rd
 
