@@ -561,6 +561,15 @@ def _q_common_ngrams(sf_dir: str):
     return common_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=3, min_docs=3)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Tokens above 1% of the corpus token mass, exact counts via the
+    two-pass Misra-Gries sketch + recount (stages/textstats.py
+    heavy_hitters — never a full vocabulary-sized frequency table)."""
+    from pawpaw_ray.stages.textstats import heavy_hitters
+    return heavy_hitters(_docs(sf_dir, ["doc_id", "text"]),
+                         threshold_k=100)
+
+
 def _q_top_terms(sf_dir: str):
     from pawpaw_ray.stages.textstats import top_terms
     return top_terms(_docs(sf_dir, ["doc_id", "text"]), k=5)
@@ -886,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "common_ngrams": _q_common_ngrams,
         "top_terms": _q_top_terms,
+        "heavy_hitters": _q_heavy_hitters,
         "quota_sample": _q_quota_sample,
         "quantiles": _q_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1403,6 +1413,14 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_STATS_SQL,
         "common_ngrams": _COMMON_NGRAMS_SQL,
         "top_terms": _TOP_TERMS_SQL,
+        "heavy_hitters":
+            "WITH tk AS (SELECT list_transform(regexp_extract_all(text, "
+            "    '[A-Za-z0-9_]+'), x -> lower(x)) AS ts FROM documents), "
+            "u AS (SELECT unnest(ts) AS token FROM tk), "
+            "tot AS (SELECT count(*) AS n_total FROM u) "
+            "SELECT token, count(*) AS n FROM u, tot "
+            "GROUP BY token, tot.n_total "
+            "HAVING count(*) > tot.n_total / 100",
         # sqrt is IEEE-correctly-rounded (unlike pow), so the per-source
         # quota floor(8 * sqrt(n)) is bit-identical to the numpy kernel
         "quota_sample":

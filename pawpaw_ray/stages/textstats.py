@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import regex as rx
@@ -400,3 +401,101 @@ def top_terms(ds, k: int = 5, id_col: str = "doc_id",
     return (ds.map_batches(tf_batch, batch_format="pyarrow")
               .groupby("wbucket").map_groups(add_ctf, batch_format="pandas")
               .groupby("dbucket").map_groups(topk_bucket, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# two-pass exact heavy hitters (mergeable Misra-Gries sketch + recount)
+# ---------------------------------------------------------------------------
+
+def _mg_reduce(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction to at most ``k`` counters: subtract the
+    (k+1)-th largest count from every counter and drop the non-positive
+    ones.  Classic guarantee: an item's counter is decremented at most
+    ``n/(k+1)`` in total across all reductions, so any item with true
+    frequency > n/(k+1) keeps a positive counter."""
+    if len(tokens) <= k:
+        return tokens, counts
+    dec = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > dec
+    return tokens[keep], counts[keep] - dec
+
+
+def heavy_hitters(ds, threshold_k: int = 100, sketch_k: int | None = None,
+                  text_col: str = "text", n_buckets: int | None = None):
+    """All tokens with global count > ``n_total / threshold_k``, with
+    EXACT counts — in two bounded-memory passes, never a full
+    token-frequency table (which is vocabulary-sized at 100 TB):
+
+    1. **Sketch**: per-batch Misra-Gries over the batch's token counts
+       (``sketch_k`` counters, default ``4 x threshold_k``), partial
+       sketches merged per token-hash bucket (sum by token, then one more
+       MG reduction).  MG summaries are mergeable (Agarwal et al. 2012,
+       "Mergeable Summaries" — public result): any token with global
+       frequency > n_total/(sketch_k+1) survives to the candidate union,
+       a strict superset of the report set since sketch_k > threshold_k.
+       The driver pulls at most ``n_buckets x sketch_k`` candidate rows.
+    2. **Recount**: exact counts for the (small, broadcast) candidate set
+       plus the global token total via one vectorized ``np.isin`` pass,
+       merged in-cluster; the final strict ``n > n_total / threshold_k``
+       filter runs on the candidate-sized table — output is EXACT and
+       deterministic regardless of sketch-internal tie-breaking, because
+       the sketch only proposes candidates, never counts.
+
+    Returns a pandas DataFrame ``(token, n)``.
+    """
+    import ray
+
+    from pawpaw_ray.tuning import hash_bucket, shuffle_buckets
+    n_buckets = n_buckets or shuffle_buckets(multiplier=1)
+    sketch_k = sketch_k or 4 * threshold_k
+
+    def sketch_batch(b: pa.Table) -> pd.DataFrame:
+        _, words = _flat_tokens(b, text_col)
+        vc = pd.Series(words).value_counts()
+        toks, cnts = _mg_reduce(vc.index.to_numpy(object),
+                                vc.to_numpy(np.int64), sketch_k)
+        return pd.DataFrame({"token": toks, "c": cnts,
+                             "sbucket": hash_bucket(toks, n_buckets)})
+
+    def sketch_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["c"].sum()
+        toks, cnts = _mg_reduce(s.index.to_numpy(object),
+                                s.to_numpy(np.int64), sketch_k)
+        return pd.DataFrame({"token": toks})
+
+    cand = np.sort((ds.map_batches(sketch_batch, batch_format="pyarrow")
+                    .groupby("sbucket")
+                    .map_groups(sketch_merge, batch_format="pandas")
+                    .to_pandas())["token"].to_numpy(object))
+    cand_ref = ray.put(cand)
+
+    # cannot collide: real tokens match lowered [a-z0-9_]+ (no '#', no
+    # uppercase).  NUL-based sentinels are a trap — a trailing \x00 is
+    # silently stripped somewhere in the Arrow<->pandas block roundtrip.
+    _TOTAL = "##TOTAL##"
+
+    def recount_batch(b: pa.Table) -> pd.DataFrame:
+        from pawpaw_ray.state.broadcast import cached_get
+        cset = cached_get(cand_ref)
+        _, words = _flat_tokens(b, text_col)
+        vc = pd.Series(words[np.isin(words, cset)]).value_counts()
+        toks = np.append(vc.index.to_numpy(object), _TOTAL)
+        cnts = np.append(vc.to_numpy(np.int64), np.int64(len(words)))
+        return pd.DataFrame({"token": toks, "c": cnts,
+                             "rbucket": hash_bucket(toks, n_buckets)})
+
+    def recount_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", sort=False)["c"].sum().reset_index()
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    counts = (ds.map_batches(recount_batch, batch_format="pyarrow")
+              .groupby("rbucket")
+              .map_groups(recount_merge, batch_format="pandas")
+              .to_pandas())
+    n_total = int(counts.loc[counts["token"] == _TOTAL, "c"].sum())
+    hits = counts[(counts["token"] != _TOTAL)
+                  & (counts["c"] > n_total / threshold_k)]
+    return (pd.DataFrame({"token": hits["token"].to_numpy(object),
+                          "n": hits["c"].to_numpy(np.int64)})
+            .sort_values("token").reset_index(drop=True))

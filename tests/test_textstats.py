@@ -193,3 +193,39 @@ def test_top_terms_block_and_bucket_invariance(ray_session):
         outs.append(top_terms(ds, k=4, n_buckets=nb).to_pandas()
                     .sort_values(["doc_id", "rk"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_heavy_hitters_vs_exact(ray_session):
+    """Two-pass MG heavy hitters == brute-force exact filter, including
+    with a DELIBERATELY tiny sketch (the MG survival bound, not sketch
+    capacity, is what guarantees no true heavy hitter is lost)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pawpaw_ray.stages.textstats import heavy_hitters
+
+    rng = np.random.default_rng(43)
+    # zipf-ish vocabulary: few very hot tokens + a long tail
+    vocab = [f"tok{i}" for i in range(400)]
+    probs = np.array([1.0 / (i + 2) for i in range(400)])
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=40, p=probs))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+
+    t_k = 50
+    got = heavy_hitters(rd.from_pandas(df), threshold_k=t_k,
+                        n_buckets=4)
+    # exact reference
+    all_toks = pd.Series(" ".join(texts).split())
+    vc = all_toks.value_counts()
+    want = vc[vc > len(all_toks) / t_k].sort_index()
+    assert got.token.tolist() == list(want.index)
+    assert got.n.tolist() == list(want.values)
+
+    # minimal legal sketch: sketch_k = threshold_k still finds every hitter
+    got2 = heavy_hitters(rd.from_pandas(df), threshold_k=t_k,
+                         sketch_k=t_k, n_buckets=4)
+    assert got2.token.tolist() == list(want.index)
+    assert got2.n.tolist() == list(want.values)
