@@ -561,6 +561,25 @@ def _q_common_ngrams(sf_dir: str):
     return common_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=3, min_docs=3)
 
 
+def _q_vocab_approx(sf_dir: str):
+    """Approximate corpus vocabulary size via HyperLogLog
+    (stages/relational.py approx_distinct — distributed chunk-max register
+    merge; golden oracle is an independent naive single-loop HLL of the
+    same spec, exact agreement because the sketch is deterministic)."""
+    import pyarrow as pa
+
+    from pawpaw_ray.stages.relational import approx_distinct
+    from pawpaw_ray.stages.textstats import _flat_tokens
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        _, words = _flat_tokens(b, "text")
+        return pa.table({"token": pa.array(words, pa.string())})
+
+    ds = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(tok_rows, batch_format="pyarrow"))
+    return approx_distinct(ds, "token", p=12)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Tokens above 1% of the corpus token mass, exact counts via the
     two-pass Misra-Gries sketch + recount (stages/textstats.py
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_ngrams": _q_common_ngrams,
         "top_terms": _q_top_terms,
         "heavy_hitters": _q_heavy_hitters,
+        "vocab_approx": _q_vocab_approx,
         "quota_sample": _q_quota_sample,
         "quantiles": _q_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1484,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         # implementation or independent naive reimplementation) -----------
         "kg_triples": _golden_sql("kg_triples"),
         "kg_pagerank": _golden_sql("kg_pagerank"),
+        "vocab_approx": _golden_sql("vocab_approx"),
         "kg_entities": _golden_sql("kg_entities"),
         "kg_mentions": _golden_sql("kg_mentions"),
         "segment_stats": _golden_sql("segment_stats"),

@@ -98,7 +98,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "table_extract", "media_features", "xml_extract",
                  "langid", "fingerprint", "repetition_stats",
                  "dedup_keep_best", "common_ngrams", "top_terms",
-                 "heavy_hitters",
+                 "heavy_hitters", "vocab_approx",
                  "ontology_mentions",
                  "lang_count", "top_sources", "numbers_extract",
                  "str_ops", "format_grid", "xml_ns", "str_esc",

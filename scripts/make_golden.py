@@ -915,6 +915,40 @@ def golden_postorators(d: str, docs: pd.DataFrame) -> None:
     _write(d, "postorator_grid", df)
 
 
+def golden_vocab_approx(d: str, docs: pd.DataFrame, p: int = 12) -> None:
+    """Naive single-process HyperLogLog over the corpus token stream —
+    per-value loop, no register chunking, no merge tree; shares only the
+    SPEC with the engine (pandas' fixed-key siphash as the hash family,
+    top-p-bit register index, leading-zero rank, Flajolet bias-corrected
+    estimator with linear-counting small-range correction).  HLL given the
+    same hash family is deterministic, so the estimates must agree
+    exactly."""
+    import math
+
+    toks: list[str] = []
+    for t in docs["text"]:
+        toks.extend(w.lower() for w in re.findall(r"[A-Za-z0-9_]+", t or ""))
+    m = 1 << p
+    regs = [0] * m
+    for tok in toks:
+        h = int(pd.util.hash_array(np.array([tok], dtype=object))[0])
+        idx = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        rho = (65 - w.bit_length()) if w else 65
+        rho = min(rho, 64 - p + 1)
+        regs[idx] = max(regs[idx], rho)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s_int = sum(1 << (64 - r) for r in regs)
+    e = alpha * m * m * 18446744073709551616.0 / s_int
+    if e <= 2.5 * m:
+        zeros = regs.count(0)
+        if zeros:
+            e = m * math.log(m / zeros)
+    _write(d, "vocab_approx", pd.DataFrame({
+        "n_approx": np.array([int(round(e))], dtype=np.int64),
+        "p": np.array([p], dtype=np.int64)}))
+
+
 def main() -> None:
     d = _out_dir()
     turns, catalog = _transcripts()
@@ -937,6 +971,7 @@ def main() -> None:
     golden_str_esc(d)
     golden_arborform_flow(d, docs)
     golden_postorators(d, docs)
+    golden_vocab_approx(d, docs)
 
 
 if __name__ == "__main__":

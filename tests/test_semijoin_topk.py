@@ -159,3 +159,42 @@ def test_group_topk_ascending(ray_session):
            .to_pandas().sort_values(["key", "rank"]))
     assert got.id.tolist() == [11, 10, 13]
     assert got["rank"].tolist() == [1, 2, 1]
+
+
+def test_approx_distinct_global(ray_session):
+    """HLL global estimate: block-count INVARIANT (bit-deterministic
+    merge) and within ~5 sigma of exact on a 10k-distinct fixture."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import approx_distinct
+
+    rng = np.random.default_rng(47)
+    vals = rng.integers(0, 10_000, 40_000).astype(np.int64)  # ~9.8k distinct
+    exact = len(np.unique(vals))
+    df = pd.DataFrame({"v": vals})
+
+    est1 = approx_distinct(rd.from_pandas(df).repartition(2), "v", p=12)
+    est8 = approx_distinct(rd.from_pandas(df).repartition(8), "v", p=12)
+    assert est1[est1.columns[0]].item() == est8[est8.columns[0]].item()
+    e = est1["n_approx"].item()
+    assert abs(e - exact) / exact < 0.05, (e, exact)
+
+
+def test_approx_distinct_per_key(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import approx_distinct
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, 30_000).astype(np.int64),
+        "v": rng.integers(0, 3_000, 30_000).astype(np.int64),
+    })
+    got = (approx_distinct(rd.from_pandas(df), "v", key="k", p=12,
+                           n_buckets=3).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = df.groupby("k").v.nunique()
+    assert len(got) == 8
+    for _, r in got.iterrows():
+        exact = want[r.k]
+        assert abs(r.n_approx - exact) / exact < 0.08, (r.k, r.n_approx, exact)
