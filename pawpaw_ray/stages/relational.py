@@ -156,9 +156,70 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
 BROADCAST_KEY_BYTES = 64 * 2**20
 
 
+def _bloom_hashes(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 over the fixed
+    siphash (Kirsch-Mitzenmacher: two base hashes give k independent-
+    enough probes; h2 forced odd so every probe stride hits all of a
+    power-of-two table)."""
+    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    h1 = h >> np.uint64(32)
+    h2 = (h | np.uint64(1)) & np.uint64(0xFFFFFFFF)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom(keys_ds, on: str, m_bits: int, k: int = 7,
+                reg_chunks: int = 16):
+    """Bloom filter over a key Dataset, built fully distributed: per-batch
+    bit arrays are split into ``reg_chunks`` chunk rows and OR-merged per
+    chunk id (same chunk-row merge shape as the HLL registers), so the
+    driver reassembles a fixed number of rows regardless of batch count.
+    Returns the packed bit array (uint8, ``m_bits/8`` bytes)."""
+    if m_bits % (8 * reg_chunks):
+        raise ValueError("m_bits must be divisible by 8*reg_chunks")
+
+    def chunk_rows(b: pa.Table) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        vals = b[on].to_numpy(zero_copy_only=False)
+        if len(vals):
+            pos = _bloom_hashes(vals, m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        parts = bits.reshape(reg_chunks, -1)
+        return pd.DataFrame({
+            "chunk": np.arange(reg_chunks, dtype=np.int64),
+            "bits": [r.tobytes() for r in parts],
+        })
+
+    def chunk_or(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.frombuffer(x, dtype=np.uint8)
+                          for x in g["bits"]])
+        return pd.DataFrame({"chunk": g["chunk"].iloc[:1],
+                             "bits": [np.bitwise_or.reduce(stack,
+                                                           axis=0).tobytes()]})
+
+    parts = (keys_ds.map_batches(chunk_rows, batch_format="pyarrow")
+             .groupby("chunk").map_groups(chunk_or, batch_format="pandas")
+             .to_pandas().sort_values("chunk"))
+    return np.concatenate([np.frombuffer(x, dtype=np.uint8)
+                           for x in parts["bits"]])
+
+
+def _bloom_member(vals: np.ndarray, bits: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized membership probe: True = POSSIBLY present (false
+    positives at the filter's design rate), False = definitely absent."""
+    if not len(vals):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_hashes(vals, len(bits) * 8, k)
+    probes = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probes.all(axis=1)
+
+
 def semi_join(left_ds, right_ds, on: str, anti: bool = False,
               broadcast_bytes: int = BROADCAST_KEY_BYTES,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              bloom_bits: int | None = None):
     """Distributed semi join (``anti=False``: keep left rows whose ``on``
     key appears on the right) / anti join (``anti=True``: keep the rest).
 
@@ -178,6 +239,17 @@ def semi_join(left_ds, right_ds, on: str, anti: bool = False,
 
     Exact membership on raw key values in both paths (no 64-bit key
     hashing — a join operator must not have false positives).
+
+    ``bloom_bits`` (native path only): build a Bloom filter over the
+    right keys (distributed OR-merge, ``bloom_bits/8`` broadcast bytes)
+    and prefilter the LEFT before the shuffle — Bloom-negative rows are
+    DEFINITE non-members, so for semi they drop immediately and for anti
+    they pass immediately; only the Bloom-positive sliver (members + the
+    design-rate false positives) enters the exact native join, whose
+    verdict is unchanged.  Exactness preserved, shuffle volume cut to
+    ~|members| x (1 + fp_rate); the filter itself must fit the broadcast
+    budget (bits/8 bytes — 128 MB covers ~10^8 keys at 1% fp with k=7),
+    which is the point: it fits long after the raw key set does not.
     """
     import ray
 
@@ -195,6 +267,29 @@ def semi_join(left_ds, right_ds, on: str, anti: bool = False,
             num_partitions = shuffle_buckets(multiplier=1)
         distinct = parts.groupby(on).map_groups(
             lambda g: g.iloc[:1], batch_format="pandas")
+
+        if bloom_bits:
+            bloom_ref = ray.put(build_bloom(parts, on, bloom_bits))
+
+            def bloom_split(b: pa.Table, keep_possible: bool) -> pa.Table:
+                from pawpaw_ray.state.broadcast import cached_get
+                bits = cached_get(bloom_ref)
+                possible = _bloom_member(
+                    b[on].to_numpy(zero_copy_only=False), bits, 7)
+                return b.filter(pa.array(possible if keep_possible
+                                         else ~possible))
+
+            maybe = left_ds.map_batches(
+                lambda b: bloom_split(b, True), batch_format="pyarrow")
+            joined = maybe.join(
+                distinct, join_type="left_anti" if anti else "left_semi",
+                num_partitions=num_partitions, on=(on,))
+            if not anti:
+                return joined
+            definite = left_ds.map_batches(
+                lambda b: bloom_split(b, False), batch_format="pyarrow")
+            return joined.union(definite)
+
         return left_ds.join(distinct,
                             join_type="left_anti" if anti else "left_semi",
                             num_partitions=num_partitions, on=(on,))

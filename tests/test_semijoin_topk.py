@@ -198,3 +198,44 @@ def test_approx_distinct_per_key(ray_session):
     for _, r in got.iterrows():
         exact = want[r.k]
         assert abs(r.n_approx - exact) / exact < 0.08, (r.k, r.n_approx, exact)
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_join_bloom_prefilter_exact(ray_session, anti):
+    """Bloom-prefiltered native path must equal the plain native path
+    EXACTLY (Bloom negatives are definite non-members; positives are
+    re-verified by the exact join) — on a fixture sized so the tiny
+    filter (256 bits for ~18 keys) actually produces false positives."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import semi_join
+
+    left, right = _frames(seed=61)
+    base = (semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                      anti=anti, broadcast_bytes=0, num_partitions=4)
+            .to_pandas().sort_values(["k", "payload"])
+            .reset_index(drop=True))
+    bloom = (semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       anti=anti, broadcast_bytes=0, num_partitions=4,
+                       bloom_bits=256)
+             .to_pandas().sort_values(["k", "payload"])
+             .reset_index(drop=True))
+    assert len(base) == len(bloom)
+    assert (base.to_numpy() == bloom.to_numpy()).all()
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import (
+        _bloom_member,
+        build_bloom,
+    )
+
+    keys = pd.DataFrame({"k": np.arange(500, dtype=np.int64)})
+    bits = build_bloom(rd.from_pandas(keys), "k", m_bits=1 << 14)
+    member = _bloom_member(keys.k.to_numpy(), bits, 7)
+    assert member.all()          # a Bloom filter NEVER misses a member
+    probe = _bloom_member(np.arange(10_000, 20_000, dtype=np.int64),
+                          bits, 7)
+    assert probe.mean() < 0.05   # and stays near its design fp rate
