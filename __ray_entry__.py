@@ -350,6 +350,43 @@ def _q_events_funnel(sf_dir: str):
                                    "event_type"]))
 
 
+def _q_event_transitions(sf_dir: str):
+    """Global event-type transition counts — operator COMPOSITION: the
+    lag primitive passes the current type through (keep_cols), then a
+    map-side count combine + tiny bucketed merge; no re-join by id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pawpaw_ray.stages.events import lag_features
+    from pawpaw_ray.tuning import hash_bucket
+
+    lag = lag_features(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+        keep_cols=("event_type",))
+
+    def count_partial(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.not_equal(b["prev_type"], ""))
+        df = pd.DataFrame({
+            "prev_type": b["prev_type"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_numpy(zero_copy_only=False)})
+        agg = (df.groupby(["prev_type", "event_type"], sort=False)
+               .size().rename("n").reset_index())
+        agg["n"] = agg["n"].astype("int64")
+        agg["tbucket"] = hash_bucket(agg["prev_type"].to_numpy(), 8)
+        return agg
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["prev_type", "event_type"], sort=False)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (lag.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("tbucket").map_groups(count_merge,
+                                           batch_format="pandas"))
+
+
 def _q_events_rolling(sf_dir: str):
     """Trailing 7-day per-user window count + cents sum per event
     (stages/events.py rolling_window — RANGE-frame window aggregate)."""
@@ -881,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "user_mode_type": _q_user_mode_type,
         "events_funnel": _q_events_funnel,
+        "event_transitions": _q_event_transitions,
         "user_type_pivot": _q_user_type_pivot,
         "user_active_days": _q_user_active_days,
         "number_count": _q_number_count,
@@ -1321,6 +1359,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(DISTINCT "
             "  CAST(floor(epoch(ts)/86400) AS BIGINT)) AS n_days "
             "FROM events GROUP BY user_id",
+        "event_transitions":
+            "WITH o AS (SELECT event_type, lag(event_type) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "  FROM events) "
+            "SELECT prev_type, event_type, count(*) AS n FROM o "
+            "WHERE prev_type IS NOT NULL GROUP BY 1, 2",
         "events_funnel":
             "WITH a AS (SELECT user_id, min(ts) AS ts_view FROM events "
             "  WHERE event_type = 'view' GROUP BY user_id), "

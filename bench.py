@@ -87,7 +87,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                  "number_count", "events_window", "events_user_stats",
                  "events_sessions", "events_asof", "events_interval",
                  "events_lag", "events_rolling", "events_hopping",
-                 "user_mode_type", "events_funnel", "user_type_pivot",
+                 "user_mode_type", "events_funnel", "event_transitions",
+                 "user_type_pivot",
                  "user_active_days",
                  "quantiles", "grouped_quantiles", "ann_topk", "ann_topk_lsh",
                  "ann_topk_ivf", "simhash",

@@ -109,7 +109,8 @@ def sessionize(events_ds, gap_s: int = 1800, n_buckets: int | None = None):
                         batch_format="pandas"))
 
 
-def lag_features_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def lag_features_bucket(g: pd.DataFrame,
+                        keep_cols: tuple = ()) -> pd.DataFrame:
     """Per-event previous-event features within one user-hash bucket:
     microsecond gap since the user's previous event and that event's type,
     in (ts, event_id) order.  First event per user: gap = -1 (a real gap is
@@ -125,18 +126,24 @@ def lag_features_bucket(g: pd.DataFrame) -> pd.DataFrame:
         same = uid[1:] == uid[:-1]
         gap[1:][same] = (ts[1:] - ts[:-1])[same]
         prev_type[1:][same] = g["event_type"].to_numpy(object)[:-1][same]
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "event_id": g["event_id"].to_numpy(np.int64),
         "user_id": uid.astype(np.int64),
         "prev_gap_us": gap,
         "prev_type": prev_type,
     })
+    for c in keep_cols:        # current-row columns, in sorted order
+        out[c] = g[c].to_numpy()
+    return out
 
 
-def lag_features(events_ds, n_buckets: int | None = None):
-    """(event_id, user_id, prev_gap_us, prev_type) — the per-key ordered
-    lag/window primitive (SQL LAG ... OVER (PARTITION BY user ORDER BY ts));
-    one bucketed shuffle, per-bucket vectorized shift."""
+def lag_features(events_ds, n_buckets: int | None = None,
+                 keep_cols: tuple = ()):
+    """(event_id, user_id, prev_gap_us, prev_type [, keep_cols...]) — the
+    per-key ordered lag/window primitive (SQL LAG ... OVER (PARTITION BY
+    user ORDER BY ts)); one bucketed shuffle, per-bucket vectorized
+    shift.  ``keep_cols`` pass current-row columns through so downstream
+    composition (e.g. transition counting) needs no re-join by id."""
     n_buckets = n_buckets or shuffle_buckets(multiplier=1)
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -145,7 +152,8 @@ def lag_features(events_ds, n_buckets: int | None = None):
 
     return (events_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("lbucket")
-            .map_groups(lag_features_bucket, batch_format="pandas"))
+            .map_groups(lambda g: lag_features_bucket(g, keep_cols),
+                        batch_format="pandas"))
 
 
 def hopping_window(events_ds, window_s: int = 21_600, hop_s: int = 3_600,
