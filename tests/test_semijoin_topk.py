@@ -127,6 +127,24 @@ def test_pivot_counts_differential(ray_session):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
+def test_pivot_counts_all_out_of_category_block(ray_session):
+    """A block whose rows are ALL out-of-category must contribute an
+    empty partial with the right schema, not a schema-drift error."""
+    import ray.data as rd
+
+    from pawpaw_ray.stages.relational import pivot_counts
+
+    a = pd.DataFrame({"k": [1, 2], "c": ["x", "y"]})
+    b = pd.DataFrame({"k": [3, 4], "c": ["junk", "junk"]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    got = (pivot_counts(ds, key="k", cat_col="c", categories=("x", "y"),
+                        n_buckets=2).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == [1, 2]
+    assert got.n_x.tolist() == [1, 0]
+    assert got.n_y.tolist() == [0, 1]
+
+
 def test_distinct_count_differential(ray_session):
     import ray.data as rd
 
